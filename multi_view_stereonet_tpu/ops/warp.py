@@ -1,0 +1,123 @@
+"""Bilinear-gather warps (grid_sample equivalent) and homography plane sweeps.
+
+Correctness spec (must match torch ``grid_sample(mode="bilinear",
+padding_mode="border", align_corners=False)`` as used throughout the
+reference, e.g. image_predictor.py:519-521):
+
+- unnormalize:  ix = ((gx + 1) * W - 1) / 2
+- border padding: clamp the *float* coordinate to [0, size-1] before
+  flooring, so interpolation weights come from the clamped coordinate;
+- the invalid mask is computed from the *normalized* coordinates before
+  clamping: invalid = |gx| > 1 or |gy| > 1 (image_predictor.py:513-516).
+
+This module is the pure-XLA implementation (one fused gather for all depth
+hypotheses). A Pallas kernel with the same semantics can be swapped in via
+``multi_view_stereonet_tpu.ops.pallas``.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..geometry.projection import pixel_grid
+
+
+def _unnormalize_clamp(g: jnp.ndarray, size: int) -> jnp.ndarray:
+    ix = ((g + 1.0) * size - 1.0) * 0.5
+    return jnp.clip(ix, 0.0, size - 1.0)
+
+
+def grid_sample(image: jnp.ndarray, grid: jnp.ndarray):
+    """Bilinear sampling of ``image`` at normalized ``grid`` locations.
+
+    image: (B, H, W, C); grid: (B, ..., 2) normalized coords (x, y).
+    Returns (sampled (B, ..., C), invalid (B, ...) bool) where invalid=True
+    marks out-of-bounds samples (pre-clamp), matching the reference's mask
+    convention (mask=True means invalid).
+    """
+    B, H, W, C = image.shape
+    out_shape = grid.shape[:-1]
+
+    gx = grid[..., 0].reshape(B, -1)
+    gy = grid[..., 1].reshape(B, -1)
+
+    invalid = (jnp.abs(gx) > 1.0) | (jnp.abs(gy) > 1.0)
+
+    ix = _unnormalize_clamp(gx, W)
+    iy = _unnormalize_clamp(gy, H)
+
+    x0f = jnp.floor(ix)
+    y0f = jnp.floor(iy)
+    wx = ix - x0f
+    wy = iy - y0f
+
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, W - 1)
+    y1 = jnp.minimum(y0 + 1, H - 1)
+
+    flat = image.reshape(B, H * W, C)
+
+    def gather(yy, xx):
+        idx = yy * W + xx  # (B, N)
+        return jnp.take_along_axis(flat, idx[..., None], axis=1)  # (B, N, C)
+
+    v00 = gather(y0, x0)
+    v01 = gather(y0, x1)
+    v10 = gather(y1, x0)
+    v11 = gather(y1, x1)
+
+    wx = wx[..., None]
+    wy = wy[..., None]
+    top = v00 * (1.0 - wx) + v01 * wx
+    bot = v10 * (1.0 - wx) + v11 * wx
+    out = top * (1.0 - wy) + bot * wy
+
+    return out.reshape(*out_shape, C), invalid.reshape(out_shape)
+
+
+def homography_grid(H: jnp.ndarray, rows: int, cols: int) -> jnp.ndarray:
+    """Normalized sampling grid for warping by homographies.
+
+    H: (B, ..., 3, 3) mapping *output* pixels to source pixels (left->right).
+    Returns (B, ..., rows, cols, 2) normalized coords.
+    Reference: HomographyImagePredictor (image_predictor.py:463-510).
+    """
+    pix = pixel_grid(rows, cols, H.dtype).reshape(3, -1)  # (3, N)
+    xyz = jnp.einsum("...ij,jn->...in", H, pix, precision="highest")  # (B, ..., 3, N)
+    uv = xyz[..., :2, :] / xyz[..., 2:3, :]
+    # normalize: x' = 2 (x + 0.5)/cols - 1 (image_predictor.py:506-510)
+    x = 2.0 * (uv[..., 0, :] + 0.5) / cols - 1.0
+    y = 2.0 * (uv[..., 1, :] + 0.5) / rows - 1.0
+    g = jnp.stack([x, y], axis=-1)  # (B, ..., N, 2)
+    return g.reshape(*H.shape[:-2], rows, cols, 2)
+
+
+def homography_warp(image: jnp.ndarray, H: jnp.ndarray):
+    """Warp ``image`` (B, H, W, C) by per-batch homographies H (B, 3, 3).
+
+    Returns (warped (B, H, W, C), invalid (B, H, W)).
+    """
+    rows, cols = image.shape[1], image.shape[2]
+    grid = homography_grid(H, rows, cols)
+    return grid_sample(image, grid)
+
+
+def plane_sweep_warp(image: jnp.ndarray, H_family: jnp.ndarray,
+                     zero_invalid: bool = True):
+    """Warp one image through a family of homographies into a volume.
+
+    image: (B, H, W, C); H_family: (B, D, 3, 3).
+    Returns (volume (B, D, H, W, C), invalid (B, D, H, W)).
+    Invalid voxels are zeroed when ``zero_invalid`` (reference
+    PlaneSweepWarper, multi_view_stereonet.py:196-235).
+
+    All D hypotheses are sampled by a single fused gather -- the hypothesis
+    axis is a real array axis, not a batch fold.
+    """
+    rows, cols = image.shape[1], image.shape[2]
+    grid = homography_grid(H_family, rows, cols)  # (B, D, rows, cols, 2)
+    vol, invalid = grid_sample(image, grid)
+    if zero_invalid:
+        vol = jnp.where(invalid[..., None], 0.0, vol)
+    return vol, invalid
