@@ -1,0 +1,47 @@
+"""Shared multi-scale feature extractor (StereoNet-style).
+
+Reference: FeatureNetwork (multi_view_stereonet.py:78-129): four stride-2
+5x5 convs (3->32->32->32->32, no bias), six residual blocks (no bias), a
+final 3x3 conv (bias). ``forward`` returns a 5-element pyramid
+[input, conv0, conv1, conv2, final-features] -- the intermediate
+activations double as the multi-scale guidance pyramid.
+"""
+
+from __future__ import annotations
+
+import jax
+
+from .layers import init_conv2d, conv2d, init_resnet_block, resnet_block
+
+CHANNELS = (3, 32, 32, 32, 32)
+NUM_RES_BLOCKS = 6
+PYRAMID_LEVEL = 4  # features live at 1/16 resolution
+
+
+def init_feature_network(key, in_channels: int = 3):
+    keys = jax.random.split(key, 5 + NUM_RES_BLOCKS)
+    chans = (in_channels,) + CHANNELS[1:]
+    params = {}
+    for i in range(4):
+        params[f"conv{i}"] = init_conv2d(keys[i], 5, 5, chans[i], chans[i + 1], bias=False)
+    for i in range(NUM_RES_BLOCKS):
+        params[f"res{i}"] = init_resnet_block(keys[4 + i], chans[-1], chans[-1], bias=False)
+    params["conv_final"] = init_conv2d(keys[-1], 3, 3, chans[-1], chans[-1], bias=True)
+    return params
+
+
+def feature_network(params, x):
+    """x: (B, H, W, 3). Returns 5-level pyramid; last entry is features.
+
+    Pyramid levels: [x, conv0(x), conv1(.), conv2(.), final features].
+    """
+    pyramid = [x]
+    h = x
+    for i in range(3):
+        h = conv2d(params[f"conv{i}"], h, stride=2)
+        pyramid.append(h)
+    h = conv2d(params["conv3"], h, stride=2)
+    for i in range(NUM_RES_BLOCKS):
+        h = resnet_block(params[f"res{i}"], h)
+    pyramid.append(conv2d(params["conv_final"], h))
+    return pyramid
