@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""Flagship benchmark: MultiViewStereoNet inference throughput on TPU.
+
+Measures the reference's headline workload (test.py eval config: 480x640,
+12 idepth hypotheses, cost-volume filter + all 5 refiners, batch 1 --
+BASELINE.md) end-to-end: pyramid build + K pyramid + full forward, with
+pretrained weights when the reference checkpoint is mounted.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "depthmaps/sec", "vs_baseline": N}
+
+vs_baseline divides by 15 depthmaps/sec -- a deliberately generous
+estimate of the reference's PyTorch-GPU speed (the repo publishes no
+number, BASELINE.md; the paper's claim is "significantly faster" than
+~1-2 fps SOTA MVS, i.e. tens of ms/frame). The north star is >= 10x.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+REFERENCE_FPS_ESTIMATE = 15.0
+PRETRAINED = ("/root/reference/pretrained/gta_sfm_150epochs/checkpoints/"
+              "epoch0149/stereo_network.pt")
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from multi_view_stereonet_tpu.models import (
+        MultiViewStereoNetConfig, mvsnet_forward, init_mvsnet,
+    )
+    from multi_view_stereonet_tpu.train.pipeline import multi_view_unpack_batch
+    from __graft_entry__ import _example_batch
+
+    if os.path.exists(PRETRAINED):
+        from multi_view_stereonet_tpu.checkpoint import (
+            load_torchscript_weights, convert_reference_state_dict,
+        )
+        params = convert_reference_state_dict(load_torchscript_weights(PRETRAINED))
+    else:
+        params = init_mvsnet(jax.random.PRNGKey(0))
+
+    config = MultiViewStereoNetConfig()
+
+    def forward(params, batch):
+        inputs = multi_view_unpack_batch(batch)
+        out = mvsnet_forward(
+            params, inputs["left_image_pyr"], inputs["K_pyr"],
+            inputs["T_right_in_left"], inputs["right_image_pyr"], config)
+        return out["left_idepthmap_pyr"][0]
+
+    def measure(B, iters):
+        """Device-side loop timing: one dispatch covers ``iters`` forwards
+        (host-side async timing is unreliable through remoted TPU runtimes);
+        the per-iteration input perturbation defeats loop-invariant
+        hoisting."""
+        batch = {k: jnp.asarray(v) for k, v in _example_batch(B, 1, 480, 640).items()}
+
+        @jax.jit
+        def loop(params, batch):
+            def body(i, acc):
+                b = dict(batch)
+                b["left_image"] = batch["left_image"] + i.astype(jnp.float32) * 1e-12
+                return acc + jnp.sum(forward(params, b))
+            return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
+
+        float(loop(params, batch))  # compile + warm
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(loop(params, batch))
+            times.append(time.perf_counter() - t0)
+        return B * iters / min(times)
+
+    fps_b1 = measure(1, 50)
+    fps_b8 = measure(8, 20)
+
+    result = {
+        "metric": "depthmaps/sec single v5e chip (480x640, 12 hyps, batch 1)",
+        "value": round(fps_b1, 1),
+        "unit": "depthmaps/sec",
+        "vs_baseline": round(fps_b1 / REFERENCE_FPS_ESTIMATE, 1),
+        "batch8_throughput": round(fps_b8, 1),
+        "ms_per_frame_b1": round(1000.0 / fps_b1, 2),
+        "device": str(jax.devices()[0]),
+        "weights": "pretrained" if os.path.exists(PRETRAINED) else "random",
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

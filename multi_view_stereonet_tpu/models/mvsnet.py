@@ -33,12 +33,14 @@ from ..geometry import (
     normalize_baseline,
 )
 from ..ops import plane_sweep_warp, homography_warp, resize_bilinear, upsample_mask
+from ..ops.warp import homography_warp_auto
 from .feature_network import init_feature_network, feature_network
 from .refiners import (
     init_feature_refiner, feature_refiner,
     init_idepthmap_refiner, idepthmap_refiner,
 )
 from .cost_volume import init_cost_volume_filter, cost_volume_filter, extract_idepthmap
+from .s2d import idepthmap_refiner_s2d
 
 NUM_LEVELS = 5
 FEATURE_CHANNELS = 32
@@ -51,6 +53,10 @@ class MultiViewStereoNetConfig:
     do_cost_volume_filter: bool = True
     do_refiners: Sequence[bool] = (True, True, True, True, True)
     num_levels: int = NUM_LEVELS
+    # Run refiners in 2x2 space-to-depth layout (exact; ~5x faster on TPU
+    # for 32-channel convs -- see models/s2d.py). Auto-falls-back to the
+    # plain path at levels with odd spatial dims.
+    use_s2d_refiners: bool = True
 
 
 def init_mvsnet(key):
@@ -92,10 +98,11 @@ def incremental_right_features(params, T_right_in_left, K0, K4,
     D = idepth_samples.shape[1]
 
     # (1) Warp the full-res right image with the min-idepth homography and
-    # run the full feature extractor once (:254-261).
+    # run the full feature extractor once (:254-261). This is the largest
+    # warp in the network -- routed to the Pallas band kernel on TPU.
     H_min = create_plane_sweep_homographies(T_right_in_left, K0, idepth_samples[:, :1])
-    warped0, _mask0 = plane_sweep_warp(right_image0, H_min)
-    feats0 = feature_network(params["feature_network"], warped0[:, 0])[-1]
+    warped0, _ = homography_warp_auto(right_image0, H_min[:, 0], zero_invalid=True)
+    feats0 = feature_network(params["feature_network"], warped0)[-1]
 
     # (2) Warp the level-4 right image into the whole plane-sweep volume
     # (guidance for the refiner + the validity mask volume, :270-275).
@@ -125,10 +132,14 @@ def incremental_right_features(params, T_right_in_left, K0, K4,
     return feature_volume, mask_volume
 
 
-def _refine_level(params, name, guidance, idepth_prior, fx):
+def _refine_level(params, name, guidance, idepth_prior, fx, use_s2d=False):
     """fx idepth-scaling trick around a refiner (:605-613 etc.)."""
     scale = fx[:, None, None]
-    scaled = idepthmap_refiner(params[name], guidance, idepth_prior * scale)
+    H, W = guidance.shape[1], guidance.shape[2]
+    refine = (idepthmap_refiner_s2d
+              if use_s2d and H % 2 == 0 and W % 2 == 0
+              else idepthmap_refiner)
+    scaled = refine(params[name], guidance, idepth_prior * scale)
     return scaled / scale
 
 
@@ -190,7 +201,7 @@ def mvsnet_forward(params, left_image_pyr, K_pyr, T_right_in_lefts,
         guidance4 = jnp.concatenate([left_image_pyr[4], left_feats4], axis=-1)
         guidance4_bv = jnp.repeat(guidance4, V, axis=0)
         idepth4 = _refine_level(params, "refiner4", guidance4_bv, idepth4_raw,
-                                K4_bv[:, 0, 0])
+                                K4_bv[:, 0, 0], config.use_s2d_refiners)
         idepth4_raw = idepth4_raw / b_hw
         idepth4 = idepth4 / b_hw
     else:
@@ -229,7 +240,8 @@ def mvsnet_forward(params, left_image_pyr, K_pyr, T_right_in_lefts,
                 guidance = jnp.concatenate(
                     [left_image_pyr[lvl], left_feature_pyr[lvl]], axis=-1)
             idepth_lvl = _refine_level(params, f"refiner{lvl}", guidance, prior,
-                                       K_pyr[lvl][:, 0, 0])
+                                       K_pyr[lvl][:, 0, 0],
+                                       config.use_s2d_refiners)
         else:
             idepth_lvl = prior
 

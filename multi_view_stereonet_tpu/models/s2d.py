@@ -1,0 +1,132 @@
+"""Space-to-depth (2x2) execution of the idepthmap refiners -- exact.
+
+Why: the refiners run 3x3 convs with 32 channels at up to 480x640
+(multi_view_stereonet.py:442-484). On the MXU a 32-output-channel conv
+uses 32 of 128 lanes (~12 TF/s measured on v5e); re-expressing the same
+linear op in a 2x2 space-to-depth layout turns every intermediate conv
+into a 128-channel conv at (H/2, W/2) (~95 TF/s measured) -- identical
+math, ~4x faster where the model spends most of its time.
+
+Exactness argument (verified by tests against the plain path):
+- a 3x3 conv with dilation d on (H, W, C) equals a 3x3 conv with dilation
+  max(d//2, 1) on the (H/2, W/2, 4C) S2D tensor, with a transformed kernel:
+  output subposition (di, dj) tap (kh, kw) reads absolute input offset
+  a = di + (kh-1)*d, which in S2D coordinates is row offset s = a >> 1 and
+  parity p = a & 1. For d in {1, 2} s spans {-1, 0, 1}; for even d the
+  parity is constant and s spans {-d/2, 0, d/2}, i.e. dilation d/2. Taps
+  that fall outside a subposition's support simply get zero weight.
+- zero padding: S2D padding by the S2D dilation zero-fills exactly the
+  original rows the original padding would, and any extra padded row is
+  touched only by zero taps.
+- GroupNorm(C//8, C) statistics pool over (spatial x in-group channels);
+  in S2D the same elements live at channels {p*C + c} -- reshaping to
+  (..., 4, C) reproduces the statistics bit-for-bit.
+
+Requires even H and W (true for every pyramid level of the 480x640
+training/eval resolution); callers fall back to the plain path otherwise.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .layers import leaky_relu
+from .refiners import DILATIONS
+
+
+def space_to_depth(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W, C) -> (B, H/2, W/2, 4C), channel order (di, dj, c)."""
+    B, H, W, C = x.shape
+    x = x.reshape(B, H // 2, 2, W // 2, 2, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5)  # (B, H/2, W/2, di, dj, C)
+    return x.reshape(B, H // 2, W // 2, 4 * C)
+
+
+def depth_to_space(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, H/2, W/2, 4C) -> (B, H, W, C)."""
+    B, Hs, Ws, C4 = x.shape
+    C = C4 // 4
+    x = x.reshape(B, Hs, Ws, 2, 2, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(B, Hs * 2, Ws * 2, C)
+
+
+def s2d_kernel(w: jnp.ndarray, dilation: int) -> tuple:
+    """Transform a 3x3 HWIO kernel to its S2D equivalent.
+
+    w: (3, 3, Cin, Cout). Returns (w_s2d (3, 3, 4*Cin, 4*Cout), s2d_dilation).
+    """
+    Cin, Cout = w.shape[2], w.shape[3]
+    d2 = max(dilation // 2, 1)
+    out = jnp.zeros((3, 3, 4, Cin, 4, Cout), dtype=w.dtype)
+    for di in range(2):
+        for dj in range(2):
+            for kh in range(3):
+                for kw in range(3):
+                    ai = di + (kh - 1) * dilation
+                    aj = dj + (kw - 1) * dilation
+                    si, pi = ai >> 1, ai & 1
+                    sj, pj = aj >> 1, aj & 1
+                    assert si % d2 == 0 and sj % d2 == 0, (dilation, kh, di)
+                    khp = si // d2 + 1
+                    kwp = sj // d2 + 1
+                    out = out.at[khp, kwp, pi * 2 + pj, :, di * 2 + dj, :].set(
+                        w[kh, kw])
+    return out.reshape(3, 3, 4 * Cin, 4 * Cout), d2
+
+
+def conv2d_s2d(params, x: jnp.ndarray, dilation: int = 1) -> jnp.ndarray:
+    """Apply an original-space 3x3 conv to an S2D tensor, staying in S2D.
+
+    params: plain conv params (w (3,3,Cin,Cout) [+ b]); x: (B,Hs,Ws,4*Cin).
+    """
+    w, d2 = s2d_kernel(params["w"].astype(x.dtype), dilation)
+    out = jax.lax.conv_general_dilated(
+        x, w,
+        window_strides=(1, 1),
+        padding=((d2, d2), (d2, d2)),
+        rhs_dilation=(d2, d2),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if "b" in params:
+        out = out + jnp.tile(params["b"], 4).astype(x.dtype)
+    return out
+
+
+def group_norm_s2d(params, x: jnp.ndarray, groups: int, eps: float = 1e-5
+                   ) -> jnp.ndarray:
+    """GroupNorm over original channels for an S2D tensor (B,Hs,Ws,4C)."""
+    orig_dtype = x.dtype
+    B = x.shape[0]
+    C = x.shape[-1] // 4
+    g = x.reshape(B, -1, 4, groups, C // groups).astype(jnp.float32)
+    mean = jnp.mean(g, axis=(1, 2, 4), keepdims=True)
+    var = jnp.mean(jnp.square(g - mean), axis=(1, 2, 4), keepdims=True)
+    g = (g - mean) * jax.lax.rsqrt(var + eps)
+    out = g.reshape(x.shape)
+    out = out * jnp.tile(params["scale"], 4) + jnp.tile(params["bias"], 4)
+    return out.astype(orig_dtype)
+
+
+def resnet_block_s2d(params, x: jnp.ndarray, dilation: int) -> jnp.ndarray:
+    c4 = params["conv"]["w"].shape[-1] * 4
+    out = conv2d_s2d(params["conv"], x, dilation)
+    out = group_norm_s2d(params["gn"], out, groups=(c4 // 4) // 8)
+    out = leaky_relu(out)
+    return out + x
+
+
+def idepthmap_refiner_s2d(params, guidance: jnp.ndarray, idepthmap: jnp.ndarray
+                          ) -> jnp.ndarray:
+    """S2D execution of IDepthmapRefiner; exact same outputs as the plain
+    path (refiners.idepthmap_refiner). guidance: (B,H,W,Cg) with even H,W;
+    idepthmap: (B,H,W)."""
+    x = jnp.concatenate([guidance, idepthmap[..., None]], axis=-1)
+    x = space_to_depth(x)
+    x = leaky_relu(group_norm_s2d(params["gn0"], conv2d_s2d(params["conv0"], x), 4))
+    for i in range(6):
+        x = resnet_block_s2d(params[f"res{i}"], x, DILATIONS[i])
+    delta = conv2d_s2d(params["conv_final"], x)
+    delta = depth_to_space(delta)[..., 0]
+    return jax.nn.relu(idepthmap + delta)

@@ -1,0 +1,209 @@
+"""Band-limited bilinear homography warp as a Pallas TPU kernel.
+
+The XLA gather that backs ``ops.warp.grid_sample`` costs ~7 ms for a
+480x640x3 warp on v5e (gathers lower to scalar dynamic-slice loops). This
+kernel exploits the structure of homography sampling grids: source
+coordinates vary smoothly, so each (8-row x 128-col) output tile reads
+from a small (K x Kx) source band. Per tile:
+
+  1. DMA the band image[ybase:ybase+K, xbase:xbase+Kx, :] into VMEM
+     (dynamic offsets via scalar prefetch);
+  2. x-interpolation as ONE one-hot matmul on the MXU:
+     (8*128, Kx) @ (Kx, K*C) at float32-exact precision -- the one-hot
+     matrix carries the bilinear x-weights;
+  3. y-interpolation as a K-way select-accumulate on the VPU.
+
+Semantics match torch grid_sample(bilinear, border, align_corners=False)
+exactly (coords are pre-clamped outside; the kernel is pure resampling).
+Band bases are computed in XLA outside the kernel; when any tile's span
+exceeds the band (extreme perspective), the caller's ``lax.cond`` falls
+back to the XLA gather path, so results are always correct.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE_R = 16     # output rows per tile
+TILE_C = 128    # output cols per tile
+BAND_K = 32     # source rows in band (8-aligned base + slack + tile span)
+BAND_KX = 384   # source cols in band (128-aligned base + slack)
+
+
+def _warp_kernel(ybase_ref, xbase_ref, ix_ref, iy_ref, img_hbm, out_ref,
+                 band, sem, *, C: int, exact: bool):
+    # img_hbm is channels-first (B, C, H, W) so the band lands as
+    # (C, BAND_K, BAND_KX) and every reshape below only merges/splits
+    # leading dims (lane dim stays BAND_KX / C*K -- Mosaic-friendly).
+    b = pl.program_id(0)
+    ty = pl.program_id(1)
+    tx = pl.program_id(2)
+    ntx = pl.num_programs(2)
+    tid = (ty * ntx + tx)
+
+    yb = pl.multiple_of(ybase_ref[b, tid], 8)
+    xb = pl.multiple_of(xbase_ref[b, tid], 128)
+
+    dma = pltpu.make_async_copy(
+        img_hbm.at[b, :, pl.ds(yb, BAND_K), pl.ds(xb, BAND_KX)],
+        band, sem)
+    dma.start()
+
+    # Relative coordinates within the band.
+    ix = ix_ref[0] - xb.astype(jnp.float32)   # (TILE_R, TILE_C)
+    iy = iy_ref[0] - yb.astype(jnp.float32)
+    ix = jnp.clip(ix, 0.0, BAND_KX - 1.0)
+    iy = jnp.clip(iy, 0.0, BAND_K - 1.0)
+
+    x0f = jnp.floor(ix)
+    wx = ix - x0f
+    x0 = x0f.astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, BAND_KX - 1)
+
+    y0f = jnp.floor(iy)
+    wy = iy - y0f
+    y0 = y0f.astype(jnp.int32)
+    y1 = jnp.minimum(y0 + 1, BAND_K - 1)
+
+    # One-hot x-interpolation matrix (TILE_R*TILE_C, BAND_KX), built in 3D
+    # (lane dim stays BAND_KX; only leading dims merge in the reshape).
+    n = TILE_R * TILE_C
+    cols = jax.lax.broadcasted_iota(jnp.int32, (TILE_R, TILE_C, BAND_KX), 2)
+    Wx3 = (jnp.where(cols == x0[..., None], 1.0 - wx[..., None], 0.0)
+           + jnp.where(cols == x1[..., None], wx[..., None], 0.0))
+    Wx = Wx3.reshape(n, BAND_KX)
+
+    dma.wait()
+
+    precision = (jax.lax.Precision.HIGHEST if exact
+                 else jax.lax.Precision.DEFAULT)
+
+    # x-interp: (n, Kx) x (C*K, Kx)^T -> (n, C*K), lane index = c*K + k.
+    band2d = band[:].reshape(C * BAND_K, BAND_KX)
+    xi = jax.lax.dot_general(
+        Wx, band2d, (((1,), (1,)), ((), ())),
+        precision=precision,
+        preferred_element_type=jnp.float32)
+    xi3 = xi.reshape(TILE_R, TILE_C, C * BAND_K)
+
+    # y-interpolation weights along the c*K+k lane axis (k = lane % K).
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (TILE_R, TILE_C, C * BAND_K), 2)
+    k_idx = jax.lax.rem(lanes, BAND_K)
+    wy3 = wy[..., None]
+    Wy3 = (jnp.where(k_idx == y0[..., None], 1.0 - wy3, 0.0)
+           + jnp.where(k_idx == y1[..., None], wy3, 0.0))
+    prod = (xi3 * Wy3).reshape(n, C * BAND_K)
+
+    # Sum the K lanes of each channel with a 0/1 selection matmul.
+    rows = jax.lax.broadcasted_iota(jnp.int32, (C * BAND_K, C), 0)
+    cols_c = jax.lax.broadcasted_iota(jnp.int32, (C * BAND_K, C), 1)
+    S = jnp.where(rows // BAND_K == cols_c, 1.0, 0.0)
+    out = jax.lax.dot_general(
+        prod, S, (((1,), (0,)), ((), ())),
+        precision=precision,
+        preferred_element_type=jnp.float32)      # (n, C)
+    out_ref[0] = out.reshape(TILE_R, TILE_C, C).astype(out_ref.dtype)
+
+
+def pallas_warp_supported(image_shape, grid_shape) -> bool:
+    """Cheap static check: shapes compatible with the tiled kernel."""
+    B, H, W, C = image_shape
+    Ho, Wo = grid_shape[-2], grid_shape[-1]
+    return (Ho % TILE_R == 0 and Wo % TILE_C == 0
+            and H >= BAND_K and W >= BAND_KX)
+
+
+@functools.partial(jax.jit, static_argnames=("exact",))
+def _pallas_resample(image, ix, iy, ybase, xbase, exact=True):
+    B, H, W, C = image.shape
+    Ho, Wo = ix.shape[1], ix.shape[2]
+    nty, ntx = Ho // TILE_R, Wo // TILE_C
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # ybase, xbase
+        grid=(B, nty, ntx),
+        in_specs=[
+            pl.BlockSpec((1, TILE_R, TILE_C),
+                         lambda b, ty, tx, yb_, xb_: (b, ty, tx),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE_R, TILE_C),
+                         lambda b, ty, tx, yb_, xb_: (b, ty, tx),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # image stays in HBM
+        ],
+        out_specs=pl.BlockSpec((1, TILE_R, TILE_C, C),
+                               lambda b, ty, tx, yb_, xb_: (b, ty, tx, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((C, BAND_K, BAND_KX), image.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+
+    # Zero-pad so edge tiles' bands never clip against the image bounds
+    # (padded texels are only ever multiplied by zero one-hot weights).
+    image_chw = jnp.transpose(image, (0, 3, 1, 2))
+    image_chw = jnp.pad(image_chw,
+                        ((0, 0), (0, 0), (0, BAND_K), (0, BAND_KX)))
+    kernel = functools.partial(_warp_kernel, C=C, exact=exact)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Ho, Wo, C), image.dtype),
+    )(ybase, xbase, ix, iy, image_chw)
+
+
+def _band_bases(ix, iy, H, W):
+    """Per-tile band origins + whether every tile fits the band."""
+    B, Ho, Wo = iy.shape
+    nty, ntx = Ho // TILE_R, Wo // TILE_C
+    iyt = iy.reshape(B, nty, TILE_R, ntx, TILE_C)
+    ixt = ix.reshape(B, nty, TILE_R, ntx, TILE_C)
+    ymin = jnp.min(iyt, axis=(2, 4))
+    ymax = jnp.max(iyt, axis=(2, 4))
+    xmin = jnp.min(ixt, axis=(2, 4))
+    xmax = jnp.max(ixt, axis=(2, 4))
+    # Band origins rounded down to the (8, 128) HBM tile alignment so the
+    # dynamic DMA offsets are provably aligned for Mosaic.
+    # The kernel's image copy is padded by (BAND_K, BAND_KX), so bases only
+    # need a lower clip.
+    ybase = jnp.maximum((jnp.floor(ymin).astype(jnp.int32) // 8) * 8, 0)
+    xbase = jnp.maximum((jnp.floor(xmin).astype(jnp.int32) // 128) * 128, 0)
+    fits = (jnp.all(ymax - ybase.astype(jnp.float32) <= BAND_K - 1.0001)
+            & jnp.all(xmax - xbase.astype(jnp.float32) <= BAND_KX - 1.0001))
+    return ybase.reshape(B, -1), xbase.reshape(B, -1), fits
+
+
+def homography_warp_pallas(image, grid, exact=True):
+    """Drop-in replacement for ``ops.warp.grid_sample`` on homography grids.
+
+    image: (B, H, W, C); grid: (B, Ho, Wo, 2) normalized coords.
+    Returns (warped (B, Ho, Wo, C), invalid (B, Ho, Wo)).
+    Falls back to the XLA gather when a tile's source span exceeds the band.
+    """
+    from ..warp import grid_sample, _unnormalize_clamp
+
+    B, H, W, C = image.shape
+    Ho, Wo = grid.shape[1], grid.shape[2]
+
+    gx = grid[..., 0]
+    gy = grid[..., 1]
+    invalid = (jnp.abs(gx) > 1.0) | (jnp.abs(gy) > 1.0)
+    ix = _unnormalize_clamp(gx, W)
+    iy = _unnormalize_clamp(gy, H)
+
+    ybase, xbase, fits = _band_bases(ix, iy, H, W)
+
+    def fast(_):
+        return _pallas_resample(image, ix, iy, ybase, xbase, exact=exact)
+
+    def slow(_):
+        return grid_sample(image, grid)[0]
+
+    out = jax.lax.cond(fits, fast, slow, None)
+    return out, invalid
