@@ -1,0 +1,221 @@
+"""GTA-SfM dataset: per-sequence intrinsics/poses text files + npy depth.
+
+On-disk layout (reference datasets/gta_sfm_dataset.py:161-180 and
+scripts/gta_sfm/extract.py):
+
+  data_dir/<seq>/color/NNNNNN.jpg
+  data_dir/<seq>/depth/NNNNNN.npy
+  data_dir/<seq>/intrinsics.txt   (header + rows: id k00 k01 ... k22)
+  data_dir/<seq>/poses.txt        (header + rows: id t00 ... t33)
+
+Quirk reproduced: the dataset's principal points are off by +0.5 pixel;
+both cx and cy are corrected by -0.5 on load
+(gta_sfm_dataset.py:294-303,400-411).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+from PIL import Image
+
+from .splits import read_multi_view_split
+from ..utils import depthmap_utils
+
+
+def _load_table(path):
+    data = np.loadtxt(path, skiprows=1, dtype=np.float32, ndmin=2)
+    return data[:, 0].astype(np.int64), data[:, 1:]
+
+
+class _SequenceCache:
+    """Caches per-sequence intrinsics/poses tables."""
+
+    def __init__(self, data_dir):
+        self.data_dir = data_dir
+        self._cache = {}
+
+    def lookup(self, rel_image_path):
+        tokens = rel_image_path.split(os.path.sep)
+        seq_dir = os.path.join(self.data_dir, *tokens[:-2])
+        image_id = int(os.path.splitext(tokens[-1])[0])
+        if seq_dir not in self._cache:
+            k_ids, ks = _load_table(os.path.join(seq_dir, "intrinsics.txt"))
+            p_ids, ps = _load_table(os.path.join(seq_dir, "poses.txt"))
+            self._cache[seq_dir] = (
+                dict(zip(k_ids.tolist(), ks)), dict(zip(p_ids.tolist(), ps)))
+        kmap, pmap = self._cache[seq_dir]
+        K3 = kmap[image_id].reshape(3, 3).copy()
+        K3[0, 2] -= 0.5  # principal-point fix (reference :400-411)
+        K3[1, 2] -= 0.5
+        pose = pmap[image_id].reshape(4, 4)
+        return K3, pose
+
+
+class GTASfMMultiViewDataset:
+    """Multi-view samples from a split file.
+
+    Reference: GTASfMMultiViewStereoDataset (gta_sfm_dataset.py:341-434).
+    Shuffling is *seeded* here (the reference shuffles unseeded on
+    construction, multi_view_stereo_dataset.py:259-269).
+    """
+
+    def __init__(self, data_dir, split_file, num_images=0, transform=None,
+                 load_groundtruth_depthmaps=False, shuffle=True, seed=0):
+        self.data_dir = data_dir
+        self.transform = transform
+        self.load_gt = load_groundtruth_depthmaps
+
+        lefts, rights = read_multi_view_split(split_file)
+        if shuffle:
+            perm = np.random.default_rng(seed).permutation(len(lefts))
+            lefts = [lefts[i] for i in perm]
+            rights = [rights[i] for i in perm]
+        if num_images > 0:
+            lefts, rights = lefts[:num_images], rights[:num_images]
+        self.left_names = lefts
+        self.right_names = rights
+        self._seqs = _SequenceCache(data_dir)
+
+    def __len__(self):
+        return len(self.left_names)
+
+    @staticmethod
+    def depth_path(image_path):
+        tokens = image_path.split(os.path.sep)
+        tokens[-2] = "depth"
+        tokens[-1] = tokens[-1].replace("jpg", "npy")
+        return os.path.sep.join(tokens)
+
+    def __getitem__(self, idx):
+        left_rel = self.left_names[idx]
+        right_rels = self.right_names[idx]
+        left_path = os.path.join(self.data_dir, left_rel)
+
+        K3, left_pose = self._seqs.lookup(left_rel)
+        K = np.eye(4, dtype=np.float32)
+        K[:3, :3] = K3
+
+        T_rights = []
+        for r in right_rels:
+            _, right_pose = self._seqs.lookup(r)
+            T_rights.append(
+                (np.linalg.inv(left_pose) @ right_pose).astype(np.float32))
+
+        sample = {
+            "left_filename": left_path,
+            "right_filenames": [os.path.join(self.data_dir, r) for r in right_rels],
+            "left_image": Image.open(left_path).convert("RGB"),
+            "right_images": [
+                Image.open(os.path.join(self.data_dir, r)).convert("RGB")
+                for r in right_rels
+            ],
+            "K": K,
+            "T_right_in_left": T_rights,
+        }
+        if self.load_gt:
+            sample["left_depthmap_true"] = np.load(self.depth_path(left_path))
+            sample["right_depthmaps_true"] = [
+                np.load(self.depth_path(os.path.join(self.data_dir, r)))
+                for r in right_rels
+            ]
+        if self.transform:
+            sample = self.transform(sample)
+        return sample
+
+
+class GTASfMStereoDataset(GTASfMMultiViewDataset):
+    """Two-view variant with optional GT disparity.
+
+    Reference: GTASfMStereoDataset (gta_sfm_dataset.py:235-339).
+    """
+
+    def __init__(self, *args, load_groundtruth_disparity=False, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.load_gt_disparity = load_groundtruth_disparity
+
+    def __getitem__(self, idx):
+        sample = super().__getitem__(idx)
+        if self.load_gt_disparity:
+            K3, _ = self._seqs.lookup(self.left_names[idx])
+            T = sample["T_right_in_left"][0]
+            depth = sample.get("left_depthmap_true")
+            if depth is None:
+                depth = np.load(self.depth_path(sample["left_filename"]))
+            sample["left_disparity_true"] = depthmap_utils.depthmap_to_disparity(
+                K3, T, depth)
+        return sample
+
+
+def _depth_overlap(ref_K4, ref_depth, cmp_K4, cmp_depth, T_cmp_in_ref):
+    """Fraction of ref pixels whose projection lands with valid depth."""
+    pts = depthmap_utils.depthmap_to_point_cloud(ref_K4[:3, :3], ref_depth)
+    proj = depthmap_utils.point_cloud_to_depthmap(
+        cmp_depth.shape, cmp_K4, T_cmp_in_ref, pts)
+    return np.sum(proj > 0) / ref_depth.size
+
+
+def create_mvs_split(data_dir, output_file, num_comparison_frames=1,
+                     min_overlap=0.5, min_trans_diff=0.1, ext="jpg", seed=0,
+                     pyramid_level=4):
+    """Offline split curation: pick comparison frames by projected-depth
+    overlap and minimum baseline, sorted by baseline.
+
+    Reference: sample_comparison_frames_with_depthmaps + create_mvs_dataset
+    (gta_sfm_dataset.py:68-233).
+    """
+    import glob
+
+    rng = np.random.default_rng(seed)
+    assert not os.path.exists(output_file), output_file
+    scale = 1 << pyramid_level
+
+    with open(output_file, "a") as out:
+        for seq in sorted(os.listdir(data_dir)):
+            seq_dir = os.path.join(data_dir, seq)
+            images = sorted(glob.glob(os.path.join(seq_dir, "color", f"*{ext}")))
+            if not images:
+                continue
+            depths = sorted(glob.glob(os.path.join(seq_dir, "depth", "*.npy")))
+            _, poses = _load_table(os.path.join(seq_dir, "poses.txt"))
+            _, ks = _load_table(os.path.join(seq_dir, "intrinsics.txt"))
+
+            downs, K4s, Ts = [], [], []
+            for i in range(len(images)):
+                K = ks[i].reshape(3, 3) / scale
+                K[2, 2] = 1.0
+                K4 = np.eye(4)
+                K4[:3, :3] = K
+                K4s.append(K4)
+                downs.append(np.load(depths[i])[::scale, ::scale])
+                Ts.append(poses[i].reshape(4, 4))
+
+            for ref in range(len(images)):
+                valid, baselines = [], []
+                for cmp_ in range(len(images)):
+                    if cmp_ == ref:
+                        continue
+                    T_ref_in_cmp = np.linalg.inv(Ts[cmp_]) @ Ts[ref]
+                    T_cmp_in_ref = np.linalg.inv(Ts[ref]) @ Ts[cmp_]
+                    baseline = np.linalg.norm(T_ref_in_cmp[:3, 3])
+                    if baseline <= min_trans_diff:
+                        continue
+                    o1 = _depth_overlap(K4s[ref], downs[ref], K4s[cmp_],
+                                        downs[cmp_], T_cmp_in_ref)
+                    if o1 <= min_overlap:
+                        continue
+                    o2 = _depth_overlap(K4s[cmp_], downs[cmp_], K4s[ref],
+                                        downs[ref], T_ref_in_cmp)
+                    if o2 <= min_overlap:
+                        continue
+                    valid.append(cmp_)
+                    baselines.append(baseline)
+                if len(valid) < num_comparison_frames:
+                    continue
+                perm = rng.permutation(len(valid))[:num_comparison_frames]
+                chosen = sorted(perm, key=lambda j: baselines[j])
+                out.write(os.path.relpath(images[ref], data_dir))
+                for j in chosen:
+                    out.write(" " + os.path.relpath(images[valid[j]], data_dir))
+                out.write("\n")

@@ -1,0 +1,104 @@
+"""Batch assembly + background prefetch.
+
+The reference used torch DataLoader worker processes (num_workers 4,
+params.yaml:19); here a single background thread decodes/assembles the
+next batches while the device computes (TPU steps are the bottleneck, and
+sample decode is cheap jpg + npy IO).
+
+Batches are numpy dicts with *static* shapes:
+  left_image (B, H, W, 3), right_images (B, V, H, W, 3), K (B, 4, 4),
+  T_right_in_left (B, V, 4, 4), left_depthmap_true (B, H, W),
+  right_depthmap_true (B, V, H, W)  [when GT present]
+matching ``train.pipeline.multi_view_unpack_batch``.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+
+import numpy as np
+
+
+def collate(samples: list) -> dict:
+    """Stack transformed samples into a batch dict."""
+    batch = {
+        "left_image": np.stack([s["left_image"] for s in samples]),
+        "right_images": np.stack(
+            [np.stack(s["right_images"]) for s in samples]),
+        "K": np.stack([np.asarray(s["K"], np.float32) for s in samples]),
+        "T_right_in_left": np.stack(
+            [np.stack(s["T_right_in_left"]) for s in samples]).astype(np.float32),
+        "left_filenames": [s["left_filename"] for s in samples],
+        "right_filenames": [s["right_filenames"] for s in samples],
+    }
+    if "left_depthmap_true" in samples[0]:
+        batch["left_depthmap_true"] = np.stack(
+            [s["left_depthmap_true"] for s in samples]).astype(np.float32)
+    if "right_depthmaps_true" in samples[0]:
+        batch["right_depthmap_true"] = np.stack(
+            [np.stack(s["right_depthmaps_true"]) for s in samples]).astype(np.float32)
+    return batch
+
+
+class BatchLoader:
+    """Iterable over fixed-size batches with optional threaded prefetch.
+
+    Drops the trailing partial batch (static shapes under jit). Epoch
+    shuffling is seeded and reshuffles per epoch.
+    """
+
+    def __init__(self, dataset, batch_size, shuffle=False, seed=0,
+                 prefetch=2, drop_last=True):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.prefetch = prefetch
+        self.drop_last = drop_last
+        self._epoch = 0
+
+    def __len__(self):
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _index_order(self):
+        n = len(self.dataset)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self._epoch)
+            return rng.permutation(n)
+        return np.arange(n)
+
+    def _batches(self):
+        order = self._index_order()
+        nb = len(self)
+        for b in range(nb):
+            idxs = order[b * self.batch_size:(b + 1) * self.batch_size]
+            if len(idxs) < self.batch_size and self.drop_last:
+                return
+            yield collate([self.dataset[int(i)] for i in idxs])
+
+    def __iter__(self):
+        self._epoch += 1
+        if self.prefetch <= 0:
+            yield from self._batches()
+            return
+
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+
+        def worker():
+            try:
+                for batch in self._batches():
+                    q.put(batch)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+        t.join()

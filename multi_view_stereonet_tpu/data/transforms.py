@@ -1,0 +1,205 @@
+"""Sample transforms: resize + intrinsics rescale, jitter, normalization,
+test-time pose perturbations.
+
+Counterpart of the reference transform pipelines
+(datasets/multi_view_stereo_dataset.py:56-227). Samples are dicts:
+  left_image: PIL.Image or (H, W, 3) float32
+  right_images: list of same
+  K: (4, 4) float32
+  T_right_in_left: (V, 4, 4) float32
+  left_depthmap_true / right_depthmaps_true: optional numpy arrays
+
+Color jitter uses PIL ImageEnhance, matching torchvision's PIL backend:
+random factors in the given ranges applied in a random order, with the
+same jitter applied to all views of a sample (:210-227).
+
+Reference quirk reproduced on purpose: the *augmented* training pipeline
+omits the [-1, 1] normalization (:60-62); ``get_training_transforms``
+keeps that behavior unless ``fix_normalization`` is set.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from PIL import Image, ImageEnhance
+
+
+class Compose:
+    def __init__(self, transforms):
+        self.transforms = list(transforms)
+
+    def __call__(self, sample):
+        for t in self.transforms:
+            sample = t(sample)
+        return sample
+
+
+class ResizeWithIntrinsics:
+    """Resize all views to (rows, cols); scale K rows 0/1 accordingly.
+
+    Reference: ResizeImageStereo (:175-208). Ground truth is NOT resized.
+    """
+
+    def __init__(self, rows: int, cols: int):
+        self.rows = rows
+        self.cols = cols
+
+    def __call__(self, sample):
+        left = sample["left_image"]
+        in_cols, in_rows = left.size
+        sample["left_image"] = left.resize((self.cols, self.rows), Image.BILINEAR)
+        sample["right_images"] = [
+            im.resize((self.cols, self.rows), Image.BILINEAR)
+            for im in sample["right_images"]
+        ]
+        K = np.array(sample["K"], copy=True)
+        K[0, :] *= float(self.cols) / in_cols
+        K[1, :] *= float(self.rows) / in_rows
+        sample["K"] = K
+        return sample
+
+
+class RandomColorJitter:
+    """Same random photometric jitter applied to every view."""
+
+    def __init__(self, rng=None, brightness=(0.8, 1.2), contrast=(0.8, 1.2),
+                 saturation=(0.8, 1.2), hue=(-0.1, 0.1)):
+        self.rng = rng or np.random.default_rng()
+        self.brightness = brightness
+        self.contrast = contrast
+        self.saturation = saturation
+        self.hue = hue
+
+    def _jitter_fn(self):
+        b = self.rng.uniform(*self.brightness)
+        c = self.rng.uniform(*self.contrast)
+        s = self.rng.uniform(*self.saturation)
+        h = self.rng.uniform(*self.hue)
+        order = self.rng.permutation(4)
+
+        def apply(img):
+            for op in order:
+                if op == 0:
+                    img = ImageEnhance.Brightness(img).enhance(b)
+                elif op == 1:
+                    img = ImageEnhance.Contrast(img).enhance(c)
+                elif op == 2:
+                    img = ImageEnhance.Color(img).enhance(s)
+                else:
+                    hsv = np.array(img.convert("HSV"))
+                    hsv[..., 0] = (hsv[..., 0].astype(np.int16)
+                                   + int(h * 255)) % 256
+                    img = Image.fromarray(hsv, "HSV").convert("RGB")
+            return img
+
+        return apply
+
+    def __call__(self, sample):
+        fn = self._jitter_fn()
+        sample["left_image"] = fn(sample["left_image"])
+        sample["right_images"] = [fn(im) for im in sample["right_images"]]
+        return sample
+
+
+class ToArray:
+    """PIL -> float32 [0, 1] numpy (torchvision to_tensor equivalent)."""
+
+    def __call__(self, sample):
+        sample["left_image"] = np.asarray(
+            sample["left_image"], dtype=np.float32) / 255.0
+        sample["right_images"] = [
+            np.asarray(im, dtype=np.float32) / 255.0
+            for im in sample["right_images"]
+        ]
+        return sample
+
+
+class Normalize:
+    """Map [0, 1] images to [-1, 1] (mean=std=0.5, :100-106)."""
+
+    def __call__(self, sample):
+        sample["left_image"] = sample["left_image"] * 2.0 - 1.0
+        sample["right_images"] = [im * 2.0 - 1.0 for im in sample["right_images"]]
+        return sample
+
+
+class RollRight180:
+    """Rotate right views 180 deg and adjust poses (:126-146)."""
+
+    def __call__(self, sample):
+        T_roll = np.eye(4, dtype=np.float32)
+        T_roll[0, 0] = -1.0
+        T_roll[1, 1] = -1.0
+        rights = []
+        for i, im in enumerate(sample["right_images"]):
+            arr = np.asarray(im)
+            rights.append(Image.fromarray(np.ascontiguousarray(arr[::-1, ::-1])))
+            sample["T_right_in_left"][i] = sample["T_right_in_left"][i] @ T_roll
+            if "right_depthmaps_true" in sample:
+                d = sample["right_depthmaps_true"][i]
+                sample["right_depthmaps_true"][i] = np.ascontiguousarray(d[::-1, ::-1])
+        sample["right_images"] = rights
+        return sample
+
+
+class TranslationNoise:
+    """Gaussian translation noise on poses (:148-155)."""
+
+    def __init__(self, sigma=1.0, rng=None):
+        self.sigma = sigma
+        self.rng = rng or np.random.default_rng()
+
+    def __call__(self, sample):
+        for i in range(len(sample["T_right_in_left"])):
+            sample["T_right_in_left"][i][:3, 3] += self.rng.normal(
+                0.0, self.sigma, size=3).astype(np.float32)
+        return sample
+
+
+class RotationNoise:
+    """Gaussian axis-angle rotation noise on poses (:157-173)."""
+
+    def __init__(self, sigma_deg=1.0, rng=None):
+        self.sigma_deg = sigma_deg
+        self.rng = rng or np.random.default_rng()
+
+    def __call__(self, sample):
+        for i in range(len(sample["T_right_in_left"])):
+            aa = self.rng.normal(0.0, self.sigma_deg, size=3)
+            angle = np.linalg.norm(aa)
+            axis = aa / angle
+            a = np.deg2rad(angle)
+            Kx = np.array([[0, -axis[2], axis[1]],
+                           [axis[2], 0, -axis[0]],
+                           [-axis[1], axis[0], 0]])
+            R = np.eye(3) + np.sin(a) * Kx + (1 - np.cos(a)) * (Kx @ Kx)
+            T = sample["T_right_in_left"][i]
+            T[:3, :3] = (R @ T[:3, :3]).astype(np.float32)
+        return sample
+
+
+def get_training_transforms(params: dict, rng=None, fix_normalization=False):
+    """Train pipeline (reference :56-68). With augment=True the reference
+    omits Normalize -- reproduced unless ``fix_normalization``."""
+    rows, cols = params["size"]
+    if params.get("augment", False):
+        steps = [ResizeWithIntrinsics(rows, cols), RandomColorJitter(rng), ToArray()]
+        if fix_normalization:
+            steps.append(Normalize())
+        return Compose(steps)
+    return Compose([ResizeWithIntrinsics(rows, cols), ToArray(), Normalize()])
+
+
+def get_testing_transforms(params: dict, roll_right_image180=False,
+                           add_trans_noise=False, add_rot_noise=False, rng=None):
+    """Test pipeline with optional robustness perturbations (:70-98)."""
+    rows, cols = params["size"]
+    steps = []
+    if roll_right_image180:
+        steps.append(RollRight180())
+    elif add_trans_noise:
+        steps.append(TranslationNoise(rng=rng))
+    elif add_rot_noise:
+        steps.append(RotationNoise(rng=rng))
+    steps += [ResizeWithIntrinsics(rows, cols), ToArray(), Normalize()]
+    return Compose(steps)

@@ -1,0 +1,242 @@
+"""Training CLI: the 150-epoch reference recipe, TPU-native.
+
+The reference repo has no training script (training lived in the external
+"depthest" harness; SURVEY.md). This CLI reconstructs that recipe from the
+in-repo plumbing + params.yaml: multi-view supervised training with Adam,
+per-epoch validation (EPE/outlier metrics like validation.txt), per-epoch
+checkpoints (``checkpoints/epochNNNN``), loss logs and plots.
+
+TPU-native execution: one jitted train step; data parallelism over a
+``(data, view)`` device mesh with XLA-inserted gradient reductions; host
+threads keep the input pipeline ahead of the device.
+
+Usage:
+  python -m multi_view_stereonet_tpu.train.train_cli \
+      --config params.yaml --data_dir <dir> --train_split <file> \
+      [--val_split <file>] --output_dir <run_dir> [--max_steps N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..data import (
+    GTASfMMultiViewDataset, DeMoNDataset, BatchLoader,
+    get_training_transforms, get_testing_transforms,
+)
+from ..losses import LossConfig
+from ..models import MultiViewStereoNetConfig, init_mvsnet, mvsnet_forward
+from ..parallel import make_mesh, shard_batch, replicated
+from ..checkpoint import native as ckpt
+from .config import load_params_yaml
+from .pipeline import multi_view_unpack_batch
+from .step import OptimizerConfig, make_optimizer, make_train_step
+from .validation import disparity_metrics
+from .logging import (
+    log_losses, log_validation_metrics, plot_losses, log_debug_images,
+)
+from ..utils.timing import set_seeds, count_parameters
+
+
+def make_dataset(params, data_dir, split_file, training, num_images=0, rng=None):
+    if training:
+        transform = get_training_transforms(params, rng)
+    else:
+        transform = get_testing_transforms(params)
+    if "gta_sfm" in (params.get("split", "") + split_file):
+        return GTASfMMultiViewDataset(
+            data_dir, split_file, num_images, transform,
+            load_groundtruth_depthmaps=True, seed=params["seed"])
+    return DeMoNDataset(data_dir, split_file, num_right_images=1,
+                        num_left_images=num_images, transform=transform,
+                        seed=params["seed"])
+
+
+def build_train_step(params_cfg, steps_per_epoch):
+    model_config = MultiViewStereoNetConfig(
+        num_idepth_samples=params_cfg["num_idepth_samples"],
+        do_cost_volume_filter=params_cfg["cost_volume_filter"],
+        do_refiners=tuple(params_cfg["refiners"]),
+    )
+    loss_config = LossConfig(
+        supervision_factor=params_cfg["supervision_factor"],
+        reconstruction_factor=params_cfg["reconstruction_factor"],
+        left_right_factor=params_cfg["left_right_factor"],
+    )
+    tx = make_optimizer(OptimizerConfig(
+        optimizer=params_cfg["optimizer"],
+        learning_rate=params_cfg["learning_rate"],
+        scheduler_gamma=params_cfg["scheduler_gamma"],
+        steps_per_epoch=steps_per_epoch,
+        batches_per_step=params_cfg["batches_per_step"],
+    ))
+    step = make_train_step(model_config, loss_config, tx, multi_view=True)
+    return model_config, loss_config, tx, step
+
+
+def validate(params, val_loader, model_config, loss_config):
+    """Per-epoch validation: loss + disparity metrics (validation.txt)."""
+    from ..losses import compute_losses
+
+    @jax.jit
+    def val_step(params, batch):
+        inputs = multi_view_unpack_batch(batch)
+        outputs = mvsnet_forward(
+            params, inputs["left_image_pyr"], inputs["K_pyr"],
+            inputs["T_right_in_left"], inputs["right_image_pyr"], model_config)
+        loss, _, _ = compute_losses(inputs, outputs, loss_config)
+        m = disparity_metrics(
+            inputs["K_pyr"][0], inputs["T_right_in_left"][:, 0],
+            outputs["left_idepthmap_pyr"][0], inputs["left_idepthmap_true"])
+        return loss, m
+
+    totals = None
+    loss_sum, n = 0.0, 0
+    for batch in val_loader:
+        batch = {k: jnp.asarray(v) for k, v in batch.items()
+                 if not k.endswith("filenames")}
+        loss, m = val_step(params, batch)
+        loss_sum += float(loss)
+        m = {k: float(v) for k, v in m.items()}
+        totals = m if totals is None else {
+            k: totals[k] + m[k] for k in totals}
+        n += 1
+    if n == 0:
+        return 0.0, {}
+    return loss_sum / n, {k: v / n for k, v in totals.items()}
+
+
+def train(params_cfg, data_dir, train_split, val_split, output_dir,
+          max_steps=0, max_epochs=None):
+    os.makedirs(output_dir, exist_ok=True)
+    key = set_seeds(params_cfg["seed"])
+    rng = np.random.default_rng(params_cfg["seed"])
+
+    dataset = make_dataset(params_cfg, data_dir, train_split, True,
+                           params_cfg["num_train_images"], rng)
+    loader = BatchLoader(dataset, params_cfg["batch_size"],
+                         shuffle=params_cfg["shuffle"], seed=params_cfg["seed"])
+    steps_per_epoch = max(len(loader), 1)
+
+    val_loader = None
+    if val_split:
+        val_dataset = make_dataset(params_cfg, data_dir, val_split, False,
+                                   params_cfg["num_val_images"])
+        val_loader = BatchLoader(val_dataset, params_cfg["batch_size"],
+                                 shuffle=False)
+
+    model_config, loss_config, tx, train_step = build_train_step(
+        params_cfg, steps_per_epoch)
+
+    params = init_mvsnet(key)
+    opt_state = tx.init(params)
+    start_epoch = 0
+    ckpt_root = os.path.join(output_dir, "checkpoints")
+
+    prev = params_cfg.get("previous_checkpoint_dir", "")
+    latest = ckpt.latest_epoch(ckpt_root)
+    if prev:
+        params = ckpt.load_params(prev, template=params)
+        print(f"resumed params from {prev}")
+    elif latest is not None:
+        state = ckpt.load_train_state(ckpt_root, latest, {
+            "params": params, "opt_state": opt_state, "step": np.asarray(0)})
+        params, opt_state = state["params"], state["opt_state"]
+        start_epoch = latest + 1
+        print(f"resumed from epoch {latest}")
+
+    print(f"model parameters: {count_parameters(params)}")
+
+    mesh = make_mesh(view=1)
+    rep = replicated(mesh)
+    params = jax.device_put(params, rep)
+    opt_state = jax.device_put(opt_state, rep)
+    n_data = mesh.devices.size
+
+    jit_step = jax.jit(train_step, donate_argnums=(0, 1))
+
+    loss_file = os.path.join(output_dir, "losses.txt")
+    val_file = os.path.join(output_dir, "validation.txt")
+    debug_dir = os.path.join(output_dir, "debug_images")
+    step_count = 0
+    num_epochs = max_epochs if max_epochs is not None else params_cfg["num_epochs"]
+
+    for epoch in range(start_epoch, num_epochs):
+        t_epoch = time.time()
+        for batch_idx, batch in enumerate(loader):
+            names = batch.pop("left_filenames")
+            batch.pop("right_filenames")
+            if params_cfg["batch_size"] % n_data == 0 and n_data > 1:
+                jbatch = shard_batch(mesh, batch)
+            else:
+                jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+
+            with mesh:
+                params, opt_state, loss, loss_dict = jit_step(
+                    params, opt_state, jbatch)
+
+            step_count += 1
+            if step_count % params_cfg["print_freq"] == 0:
+                lossf = float(loss)
+                print(f"epoch {epoch} batch {batch_idx} step {step_count} "
+                      f"loss {lossf:.4f}")
+                log_losses(epoch, batch_idx, step_count, lossf,
+                           jax.device_get(loss_dict), loss_file)
+            if params_cfg["plot_freq"] and step_count % params_cfg["plot_freq"] == 0:
+                plot_losses(loss_file, os.path.join(output_dir, "plots"))
+            if (params_cfg["debug_image_freq"]
+                    and step_count % params_cfg["debug_image_freq"] == 0):
+                inputs = multi_view_unpack_batch(
+                    {k: jnp.asarray(v) for k, v in batch.items()})
+                outputs = jax.jit(
+                    lambda p, i: mvsnet_forward(
+                        p, i["left_image_pyr"], i["K_pyr"],
+                        i["T_right_in_left"], i["right_image_pyr"],
+                        model_config))(params, inputs)
+                inputs["left_filenames"] = names
+                log_debug_images(epoch, step_count, 0, inputs,
+                                 jax.device_get(outputs), debug_dir)
+            if max_steps and step_count >= max_steps:
+                break
+
+        if val_loader is not None:
+            val_loss, metrics = validate(params, val_loader, model_config,
+                                         loss_config)
+            log_validation_metrics(epoch, val_loss, metrics, val_file)
+            print(f"epoch {epoch} validation loss {val_loss:.4f} {metrics}")
+
+        path = ckpt.save_train_state(ckpt_root, epoch, params, opt_state,
+                                     step_count)
+        print(f"epoch {epoch} done in {time.time() - t_epoch:.1f}s; "
+              f"checkpoint: {path}")
+        if max_steps and step_count >= max_steps:
+            break
+
+    return params
+
+
+def main():
+    parser = argparse.ArgumentParser(description="Train MultiViewStereoNet (TPU).")
+    parser.add_argument("--config", required=True, help="params.yaml")
+    parser.add_argument("--data_dir", required=True)
+    parser.add_argument("--train_split", required=True)
+    parser.add_argument("--val_split", default="")
+    parser.add_argument("--output_dir", required=True)
+    parser.add_argument("--max_steps", type=int, default=0)
+    parser.add_argument("--max_epochs", type=int, default=None)
+    args = parser.parse_args()
+
+    params_cfg = load_params_yaml(args.config)
+    train(params_cfg, args.data_dir, args.train_split, args.val_split,
+          args.output_dir, args.max_steps, args.max_epochs)
+
+
+if __name__ == "__main__":
+    main()

@@ -42,6 +42,18 @@ def reference_modules():
         tv = types.ModuleType("torchvision")
         tv.transforms = types.ModuleType("torchvision.transforms")
         sys.modules["torchvision"] = tv
+    if "pyquaternion" not in sys.modules:
+        pq = types.ModuleType("pyquaternion")
+        pq.Quaternion = object
+        sys.modules["pyquaternion"] = pq
+    # The reference's `datasets/` has no __init__.py; as a namespace package
+    # it loses to the HuggingFace `datasets` in site-packages. Pin it.
+    if ("datasets" not in sys.modules
+            or not getattr(sys.modules["datasets"], "__path__", [None])[0]
+            == os.path.join(REFERENCE_DIR, "datasets")):
+        pkg = types.ModuleType("datasets")
+        pkg.__path__ = [os.path.join(REFERENCE_DIR, "datasets")]
+        sys.modules["datasets"] = pkg
     if REFERENCE_DIR not in sys.path:
         sys.path.insert(0, REFERENCE_DIR)
     import torch  # noqa: F401

@@ -1,0 +1,161 @@
+"""Synthetic on-disk datasets in GTA-SfM / DeMoN layouts.
+
+Scenes are textured fronto-parallel planes rendered with the exact
+homography geometry, so estimated depth at the plane idepth minimizes
+photometric error and GT depthmaps are consistent with poses/intrinsics.
+Used by dataset tests and dataset-free CLI drives.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+from PIL import Image
+
+
+def _smooth_texture(rng, rows, cols):
+    base = rng.uniform(0, 255, size=(rows // 8, cols // 8, 3))
+    img = np.array(Image.fromarray(base.astype(np.uint8)).resize(
+        (cols, rows), Image.BILINEAR))
+    noise = rng.uniform(-20, 20, size=img.shape)
+    return np.clip(img + noise, 0, 255).astype(np.uint8)
+
+
+def _camera(rows, cols):
+    K = np.eye(3, dtype=np.float64)
+    K[0, 0] = K[1, 1] = 0.9 * cols
+    # The GTA-SfM loader subtracts 0.5 from the stored principal point.
+    K[0, 2] = (cols - 1) / 2.0 + 0.5
+    K[1, 2] = (rows - 1) / 2.0 + 0.5
+    return K
+
+def _render_view(texture, tex_K, K, rows, cols, T_cam, plane_depth):
+    """Render a (rows, cols) view with intrinsics K of the plane
+    z = plane_depth (world frame) from camera pose T_cam (camera-in-world).
+    The world camera at identity with intrinsics tex_K sees ``texture``."""
+    # Homography from this camera's pixels to world-camera pixels:
+    # x_world = R x_cam + t;   plane at depth d in world frame.
+    T_wc = T_cam  # camera-in-world = transform cam coords to world coords
+    Rwc = T_wc[:3, :3]
+    twc = T_wc[:3, 3]
+    # point on plane: X_w = lambda * (Rwc K^-1 u_c) + twc with X_w.z = d
+    Kinv = np.linalg.inv(K)
+    ys, xs = np.mgrid[0:rows, 0:cols]
+    pix = np.stack([xs.ravel(), ys.ravel(), np.ones(rows * cols)], axis=0)
+    rays = Rwc @ (Kinv @ pix)
+    lam = (plane_depth - twc[2]) / rays[2]
+    Xw = rays * lam + twc[:, None]
+    uw = tex_K @ Xw
+    uw = uw[:2] / uw[2]
+    # bilinear sample texture at uw
+    tex_rows, tex_cols = texture.shape[:2]
+    x = np.clip(uw[0], 0, tex_cols - 1)
+    y = np.clip(uw[1], 0, tex_rows - 1)
+    x0 = np.floor(x).astype(int)
+    y0 = np.floor(y).astype(int)
+    x1 = np.minimum(x0 + 1, cols - 1)
+    y1 = np.minimum(y0 + 1, rows - 1)
+    wx = (x - x0)[:, None]
+    wy = (y - y0)[:, None]
+    tex = texture.reshape(-1, 3).astype(np.float64)
+    idx = lambda yy, xx: tex[yy * tex_cols + xx]
+    img = ((idx(y0, x0) * (1 - wx) + idx(y0, x1) * wx) * (1 - wy)
+           + (idx(y1, x0) * (1 - wx) + idx(y1, x1) * wx) * wy)
+    # depth in the *camera* frame: z of X in cam coords
+    Xc = (np.linalg.inv(T_wc) @ np.concatenate(
+        [Xw, np.ones((1, Xw.shape[1]))], axis=0))[:3]
+    return (img.reshape(rows, cols, 3).astype(np.uint8),
+            Xc[2].reshape(rows, cols).astype(np.float32))
+
+
+def make_gta_sfm_tree(root, num_sequences=2, frames=4, rows=96, cols=128,
+                      plane_depth=8.0, seed=0):
+    """Write a GTA-SfM-layout tree + a multi-view split file.
+
+    Returns (data_dir, split_path).
+    """
+    rng = np.random.default_rng(seed)
+    data_dir = os.path.join(root, "data")
+    split_lines = []
+    for s in range(num_sequences):
+        seq = os.path.join("test", f"seq{s:02d}")
+        cdir = os.path.join(data_dir, seq, "color")
+        ddir = os.path.join(data_dir, seq, "depth")
+        os.makedirs(cdir, exist_ok=True)
+        os.makedirs(ddir, exist_ok=True)
+        K = _camera(rows, cols)           # stored (+0.5 convention)
+        K_true = K.copy()
+        K_true[0, 2] -= 0.5
+        K_true[1, 2] -= 0.5
+        texture = _smooth_texture(rng, rows, cols)
+
+        k_lines = ["id k"]
+        p_lines = ["id t"]
+        names = []
+        for f in range(frames):
+            T_cam = np.eye(4)
+            T_cam[0, 3] = 0.4 * f + rng.uniform(-0.02, 0.02)
+            T_cam[1, 3] = rng.uniform(-0.05, 0.05)
+            img, depth = _render_view(texture, K_true, K_true, rows, cols,
+                                      T_cam, plane_depth)
+            name = f"{f:06d}"
+            Image.fromarray(img).save(os.path.join(cdir, name + ".jpg"),
+                                      quality=95)
+            np.save(os.path.join(ddir, name + ".npy"), depth)
+            k_lines.append(f"{f} " + " ".join(str(v) for v in K.ravel()))
+            p_lines.append(f"{f} " + " ".join(str(v) for v in T_cam.ravel()))
+            names.append(f"{seq}/color/{name}.jpg")
+
+        with open(os.path.join(data_dir, seq, "intrinsics.txt"), "w") as fh:
+            fh.write("\n".join(k_lines) + "\n")
+        with open(os.path.join(data_dir, seq, "poses.txt"), "w") as fh:
+            fh.write("\n".join(p_lines) + "\n")
+
+        for f in range(frames - 1):
+            split_lines.append(f"{names[f]} {names[f + 1]}")
+
+    split_path = os.path.join(root, "gta_sfm_synth_test.txt")
+    with open(split_path, "w") as fh:
+        fh.write("\n".join(split_lines) + "\n")
+    return data_dir, split_path
+
+
+def make_demon_tree(root, num_scenes=2, frames=3, rows=96, cols=128,
+                    plane_depth=4.0, seed=0):
+    """Write a DeMoN-layout tree + scene-list split. Returns (dir, split)."""
+    rng = np.random.default_rng(seed)
+    data_dir = os.path.join(root, "demon_data")
+    scene_names = []
+    for s in range(num_scenes):
+        for kind in ("mvs", "sun3d"):
+            scene = f"{kind}_test_{s:05d}"
+            sdir = os.path.join(data_dir, scene)
+            os.makedirs(sdir, exist_ok=True)
+            K = _camera(rows, cols)
+            K[0, 2] -= 0.5  # demon has no principal-point fixup
+            K[1, 2] -= 0.5
+            texture = _smooth_texture(rng, rows, cols)
+
+            pose_rows = []
+            for f in range(frames):
+                T_cam = np.eye(4)
+                T_cam[0, 3] = 0.25 * f
+                img, depth = _render_view(texture, K, K, rows, cols,
+                                          T_cam, plane_depth)
+                name = f"{f:07d}"
+                Image.fromarray(img).save(os.path.join(sdir, name + ".jpg"),
+                                          quality=95)
+                np.save(os.path.join(sdir, name + ".npy"), depth)
+                T_w_in_c = np.linalg.inv(T_cam)
+                pose_rows.append(" ".join(str(v) for v in T_w_in_c[:3].ravel()))
+
+            np.savetxt(os.path.join(sdir, "cam.txt"), K, fmt="%f")
+            with open(os.path.join(sdir, "poses.txt"), "w") as fh:
+                fh.write("\n".join(pose_rows) + "\n")
+            scene_names.append(scene)
+
+    split_path = os.path.join(root, "demon_synth_test.txt")
+    with open(split_path, "w") as fh:
+        fh.write("\n".join(scene_names) + "\n")
+    return data_dir, split_path

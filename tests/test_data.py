@@ -1,0 +1,137 @@
+"""Dataset/loader tests: calibration parity vs the reference datasets on a
+synthetic on-disk tree, batch assembly shapes, transform behavior."""
+
+import os
+
+import numpy as np
+import pytest
+
+from multi_view_stereonet_tpu.data import (
+    GTASfMMultiViewDataset, DeMoNDataset, BatchLoader,
+    get_testing_transforms,
+)
+from tests.synthetic_data import make_gta_sfm_tree, make_demon_tree
+
+
+@pytest.fixture(scope="module")
+def gta_tree(tmp_path_factory):
+    root = tmp_path_factory.mktemp("gta")
+    return make_gta_sfm_tree(str(root), rows=64, cols=96)
+
+
+@pytest.fixture(scope="module")
+def demon_tree(tmp_path_factory):
+    root = tmp_path_factory.mktemp("demon")
+    return make_demon_tree(str(root), rows=64, cols=96)
+
+
+def test_gta_calibration_vs_reference(reference_modules, gta_tree):
+    data_dir, split = gta_tree
+    import datasets.gta_sfm_dataset as gtad
+
+    ours = GTASfMMultiViewDataset(data_dir, split, transform=None,
+                                  load_groundtruth_depthmaps=True, shuffle=False)
+    ref = gtad.GTASfMMultiViewStereoDataset(data_dir, split, 0, None,
+                                            load_groundtruth_depthmaps=True)
+    # The reference shuffles unseeded; match entries by left filename.
+    ref_by_name = {}
+    for i in range(len(ref)):
+        K_ref, T_ref = ref.get_calibration(i)
+        ref_by_name[ref.left_filenames[i]] = (K_ref, T_ref)
+
+    assert len(ours) == len(ref)
+    for i in range(len(ours)):
+        name = ours.left_names[i]
+        K_ref, T_ref = ref_by_name[name]
+        s = ours[i]
+        np.testing.assert_allclose(s["K"], K_ref, rtol=1e-6)
+        for v in range(len(T_ref)):
+            np.testing.assert_allclose(s["T_right_in_left"][v], T_ref[v],
+                                       rtol=1e-5, atol=1e-6)
+        depth_ref = ref.get_groundtruth_depthmap(
+            os.path.join(data_dir, name))
+        np.testing.assert_allclose(s["left_depthmap_true"], depth_ref)
+
+
+def test_demon_poses_vs_reference(reference_modules, demon_tree):
+    data_dir, split = demon_tree
+    import datasets.demon_dataset as dd
+
+    ours = DeMoNDataset(data_dir, split, num_right_images=1, transform=None,
+                        shuffle=False)
+    ref = dd.DeMoNDataset(data_dir, split, num_right_images=1, num_left_images=0,
+                          transform=None)
+    ref_by_name = {s["left_filename"]: s for s in ref.samples}
+    assert len(ours) == len(ref)
+    for i in range(len(ours)):
+        raw = ours.samples[i]
+        r = ref_by_name[raw["left_filename"]]
+        np.testing.assert_allclose(raw["K"], r["K"], rtol=1e-6)
+        assert raw["right_filenames"] == r["right_filename"]
+        for v in range(len(raw["T_right_in_left"])):
+            np.testing.assert_allclose(raw["T_right_in_left"][v],
+                                       r["T_right_in_left"][v],
+                                       rtol=1e-5, atol=1e-6)
+
+
+def test_testing_transform_resizes_and_rescales_K(gta_tree):
+    data_dir, split = gta_tree
+    t = get_testing_transforms({"size": [32, 48]})
+    ds = GTASfMMultiViewDataset(data_dir, split, transform=t,
+                                load_groundtruth_depthmaps=True, shuffle=False)
+    raw = GTASfMMultiViewDataset(data_dir, split, transform=None,
+                                 load_groundtruth_depthmaps=False, shuffle=False)
+    s = ds[0]
+    r = raw[0]
+    assert s["left_image"].shape == (32, 48, 3)
+    assert s["left_image"].min() >= -1.0 and s["left_image"].max() <= 1.0
+    np.testing.assert_allclose(s["K"][0, 0], np.asarray(r["K"])[0, 0] * 48 / 96,
+                               rtol=1e-6)
+    # GT not resized (reference ResizeImageStereo: "Don't resize groundtruth").
+    assert s["left_depthmap_true"].shape == (64, 96)
+
+
+def test_batch_loader_shapes_and_determinism(gta_tree):
+    data_dir, split = gta_tree
+    t = get_testing_transforms({"size": [64, 96]})
+    ds = GTASfMMultiViewDataset(data_dir, split, transform=t,
+                                load_groundtruth_depthmaps=True, shuffle=False)
+    loader = BatchLoader(ds, batch_size=2, shuffle=True, seed=7, prefetch=2)
+    b1 = [b["left_filenames"] for b in loader]
+    loader2 = BatchLoader(ds, batch_size=2, shuffle=True, seed=7, prefetch=0)
+    b2 = [b["left_filenames"] for b in loader2]
+    assert b1 == b2  # same seed + epoch -> same order, threaded or not
+
+    batch = next(iter(BatchLoader(ds, batch_size=2)))
+    assert batch["left_image"].shape == (2, 64, 96, 3)
+    assert batch["right_images"].shape == (2, 1, 64, 96, 3)
+    assert batch["K"].shape == (2, 4, 4)
+    assert batch["T_right_in_left"].shape == (2, 1, 4, 4)
+    assert batch["left_depthmap_true"].shape == (2, 64, 96)
+    assert batch["right_depthmap_true"].shape == (2, 1, 64, 96)
+
+
+def test_depthmap_utils_vs_reference(reference_modules):
+    from multi_view_stereonet_tpu.utils import depthmap_utils as du
+    from utils import depthmap_utils as ref_du
+
+    rng = np.random.default_rng(0)
+    K = np.array([[50.0, 0, 31.5], [0, 50.0, 23.5], [0, 0, 1]])
+    depth = rng.uniform(0, 10, size=(48, 64))
+    depth[depth < 2] = 0.0
+
+    pts = du.depthmap_to_point_cloud(K, depth)
+    pts_ref = ref_du.depthmap_to_point_cloud(K, depth)
+    np.testing.assert_allclose(pts, pts_ref, rtol=1e-6)
+
+    T = np.eye(4)
+    T[0, 3] = 0.5
+    P = np.eye(4)
+    P[:3, :3] = K
+    dm = du.point_cloud_to_depthmap((48, 64), P, T, pts)
+    dm_ref = ref_du.point_cloud_to_depthmap((48, 64), P, T, pts_ref)
+    np.testing.assert_allclose(dm, dm_ref, rtol=1e-5)
+
+    disp = du.depthmap_to_disparity(K, T, depth)
+    disp_ref = ref_du.depthmap_to_disparity(K, T, depth)
+    np.testing.assert_allclose(disp, disp_ref, rtol=1e-5, atol=1e-6)
