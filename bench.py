@@ -28,6 +28,10 @@ PRETRAINED = ("/root/reference/pretrained/gta_sfm_150epochs/checkpoints/"
 
 def main():
     import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from multi_view_stereonet_tpu.models import (

@@ -57,6 +57,11 @@ class MultiViewStereoNetConfig:
     # for 32-channel convs -- see models/s2d.py). Auto-falls-back to the
     # plain path at levels with odd spatial dims.
     use_s2d_refiners: bool = True
+    # Conv/feature compute dtype ("float32" or "bfloat16"). Geometry, warp
+    # grids, soft-argmin and idepth residual adds always stay float32; in
+    # bfloat16 mode only feature extraction, cost filtering and refiner
+    # conv pipelines run at reduced precision.
+    compute_dtype: str = "float32"
 
 
 def init_mvsnet(key):
@@ -76,7 +81,8 @@ def init_mvsnet(key):
 
 
 def incremental_right_features(params, T_right_in_left, K0, K4,
-                               right_image0, right_image4, idepth_samples):
+                               right_image0, right_image4, idepth_samples,
+                               compute_dtype=jnp.float32):
     """Incrementally-warped right feature volume (the paper's core trick).
 
     T_right_in_left: (N, 4, 4) unit-baseline poses (N = batch*views);
@@ -102,7 +108,8 @@ def incremental_right_features(params, T_right_in_left, K0, K4,
     # warp in the network -- routed to the Pallas band kernel on TPU.
     H_min = create_plane_sweep_homographies(T_right_in_left, K0, idepth_samples[:, :1])
     warped0, _ = homography_warp_auto(right_image0, H_min[:, 0], zero_invalid=True)
-    feats0 = feature_network(params["feature_network"], warped0)[-1]
+    feats0 = feature_network(params["feature_network"],
+                             warped0.astype(compute_dtype))[-1]
 
     # (2) Warp the level-4 right image into the whole plane-sweep volume
     # (guidance for the refiner + the validity mask volume, :270-275).
@@ -116,8 +123,9 @@ def incremental_right_features(params, T_right_in_left, K0, K4,
     def step(feats_prev, inputs):
         H_i, image_i = inputs
         warped, invalid = homography_warp(feats_prev, H_i)
-        warped = jnp.where(invalid[..., None], 0.0, warped)
-        feats = feature_refiner(params["feature_refiner"], image_i, warped)
+        warped = jnp.where(invalid[..., None], jnp.zeros((), warped.dtype), warped)
+        feats = feature_refiner(params["feature_refiner"],
+                                image_i.astype(warped.dtype), warped)
         return feats, feats
 
     xs = (jnp.moveaxis(H_inc, 0, 1), jnp.moveaxis(image_volume[:, 1:], 0, 1))
@@ -128,18 +136,22 @@ def incremental_right_features(params, T_right_in_left, K0, K4,
     feature_volume = jnp.moveaxis(feature_volume, 0, 1)  # (N, D, h4, w4, C)
 
     # (4) Zero invalid voxels using the *global* sweep mask (:293-298).
-    feature_volume = jnp.where(mask_volume[..., None], 0.0, feature_volume)
+    feature_volume = jnp.where(mask_volume[..., None],
+                               jnp.zeros((), feature_volume.dtype),
+                               feature_volume)
     return feature_volume, mask_volume
 
 
-def _refine_level(params, name, guidance, idepth_prior, fx, use_s2d=False):
+def _refine_level(params, name, guidance, idepth_prior, fx, use_s2d=False,
+                  compute_dtype=jnp.float32):
     """fx idepth-scaling trick around a refiner (:605-613 etc.)."""
     scale = fx[:, None, None]
     H, W = guidance.shape[1], guidance.shape[2]
     refine = (idepthmap_refiner_s2d
               if use_s2d and H % 2 == 0 and W % 2 == 0
               else idepthmap_refiner)
-    scaled = refine(params[name], guidance, idepth_prior * scale)
+    scaled = refine(params[name], guidance, idepth_prior * scale,
+                    compute_dtype=compute_dtype)
     return scaled / scale
 
 
@@ -162,12 +174,14 @@ def mvsnet_forward(params, left_image_pyr, K_pyr, T_right_in_lefts,
     """
     D = config.num_idepth_samples
     do_refiners = tuple(config.do_refiners)
+    cdt = jnp.dtype(config.compute_dtype)
 
     B, V = T_right_in_lefts.shape[0], T_right_in_lefts.shape[1]
     h4, w4 = left_image_pyr[4].shape[1], left_image_pyr[4].shape[2]
 
     # Left features once (:552).
-    left_feature_pyr = feature_network(params["feature_network"], left_image_pyr[0])
+    left_feature_pyr = feature_network(params["feature_network"],
+                                       left_image_pyr[0].astype(cdt))
     left_feats4 = left_feature_pyr[-1]  # (B, h4, w4, C)
 
     # ---- Level 4: per-view plane sweeps, folded into the batch axis ----
@@ -181,27 +195,32 @@ def mvsnet_forward(params, left_image_pyr, K_pyr, T_right_in_lefts,
     idepth_samples = create_idepth_samples(T_bv, K4_bv, h4, w4, D)  # (B*V, D)
 
     right_feat_vol, right_mask_vol = incremental_right_features(
-        params, T_bv, K0_bv, K4_bv, right0_bv, right4_bv, idepth_samples)
+        params, T_bv, K0_bv, K4_bv, right0_bv, right4_bv, idepth_samples,
+        compute_dtype=cdt)
 
     # Cost volume: |left - right|, invalid voxels zeroed (:587-592).
     left_vol = jnp.repeat(left_feats4, V, axis=0)[:, None]  # (B*V, 1, h4, w4, C)
     cost = jnp.abs(left_vol - right_feat_vol)
-    cost = jnp.where(right_mask_vol[..., None], 0.0, cost)
+    cost = jnp.where(right_mask_vol[..., None], jnp.zeros((), cost.dtype), cost)
 
     if config.do_cost_volume_filter:
         cost_volume = cost_volume_filter(params["volume_filter4"], cost)
     else:
-        cost_volume = jnp.sqrt(jnp.sum(jnp.square(cost), axis=-1))
+        cost_volume = jnp.sqrt(jnp.sum(jnp.square(
+            cost.astype(jnp.float32)), axis=-1))
 
-    idepth4_raw = extract_idepthmap(cost_volume, idepth_samples)  # (B*V, h4, w4)
+    # Soft-argmin always in float32 (idepth values are precision-sensitive).
+    idepth4_raw = extract_idepthmap(
+        cost_volume.astype(jnp.float32), idepth_samples)  # (B*V, h4, w4)
 
     # Un-normalize by per-view baseline, then average over views (:615-627).
     b_hw = baseline[:, None, None]
     if do_refiners[4]:
-        guidance4 = jnp.concatenate([left_image_pyr[4], left_feats4], axis=-1)
+        guidance4 = jnp.concatenate(
+            [left_image_pyr[4].astype(cdt), left_feats4], axis=-1)
         guidance4_bv = jnp.repeat(guidance4, V, axis=0)
         idepth4 = _refine_level(params, "refiner4", guidance4_bv, idepth4_raw,
-                                K4_bv[:, 0, 0], config.use_s2d_refiners)
+                                K4_bv[:, 0, 0], config.use_s2d_refiners, cdt)
         idepth4_raw = idepth4_raw / b_hw
         idepth4 = idepth4 / b_hw
     else:
@@ -235,13 +254,14 @@ def mvsnet_forward(params, left_image_pyr, K_pyr, T_right_in_lefts,
 
         if do_refiners[lvl]:
             if lvl == 0:
-                guidance = left_image_pyr[0]
+                guidance = left_image_pyr[0].astype(cdt)
             else:
                 guidance = jnp.concatenate(
-                    [left_image_pyr[lvl], left_feature_pyr[lvl]], axis=-1)
+                    [left_image_pyr[lvl].astype(cdt), left_feature_pyr[lvl]],
+                    axis=-1)
             idepth_lvl = _refine_level(params, f"refiner{lvl}", guidance, prior,
                                        K_pyr[lvl][:, 0, 0],
-                                       config.use_s2d_refiners)
+                                       config.use_s2d_refiners, cdt)
         else:
             idepth_lvl = prior
 

@@ -56,15 +56,20 @@ def init_idepthmap_refiner(key, guidance_channels: int):
     return params
 
 
-def idepthmap_refiner(params, guidance, idepthmap):
+def idepthmap_refiner(params, guidance, idepthmap, compute_dtype=None):
     """guidance: (B, H, W, Cg); idepthmap: (B, H, W).
 
     Returns ReLU(idepthmap + delta) (IDepthmapRefiner.forward, :468-484).
-    Channel concat order [guidance, idepth].
+    Channel concat order [guidance, idepth]. With ``compute_dtype`` (e.g.
+    bfloat16) the conv pipeline runs at that dtype while the residual add
+    stays in the idepthmap's dtype -- the prior keeps full precision and
+    only the (small) correction is low-precision.
     """
-    x = jnp.concatenate([guidance, idepthmap[..., None]], axis=-1)
+    dt = compute_dtype or idepthmap.dtype
+    x = jnp.concatenate(
+        [guidance.astype(dt), idepthmap[..., None].astype(dt)], axis=-1)
     x = leaky_relu(group_norm(params["gn0"], conv2d(params["conv0"], x), groups=4))
     for i in range(6):
         x = resnet_block(params[f"res{i}"], x, dilation=DILATIONS[i])
     delta = conv2d(params["conv_final"], x)[..., 0]
-    return jax.nn.relu(idepthmap + delta)
+    return jax.nn.relu(idepthmap + delta.astype(idepthmap.dtype))

@@ -117,16 +117,18 @@ def resnet_block_s2d(params, x: jnp.ndarray, dilation: int) -> jnp.ndarray:
     return out + x
 
 
-def idepthmap_refiner_s2d(params, guidance: jnp.ndarray, idepthmap: jnp.ndarray
-                          ) -> jnp.ndarray:
+def idepthmap_refiner_s2d(params, guidance: jnp.ndarray, idepthmap: jnp.ndarray,
+                          compute_dtype=None) -> jnp.ndarray:
     """S2D execution of IDepthmapRefiner; exact same outputs as the plain
     path (refiners.idepthmap_refiner). guidance: (B,H,W,Cg) with even H,W;
-    idepthmap: (B,H,W)."""
-    x = jnp.concatenate([guidance, idepthmap[..., None]], axis=-1)
+    idepthmap: (B,H,W). ``compute_dtype`` as in idepthmap_refiner."""
+    dt = compute_dtype or idepthmap.dtype
+    x = jnp.concatenate(
+        [guidance.astype(dt), idepthmap[..., None].astype(dt)], axis=-1)
     x = space_to_depth(x)
     x = leaky_relu(group_norm_s2d(params["gn0"], conv2d_s2d(params["conv0"], x), 4))
     for i in range(6):
         x = resnet_block_s2d(params[f"res{i}"], x, DILATIONS[i])
     delta = conv2d_s2d(params["conv_final"], x)
     delta = depth_to_space(delta)[..., 0]
-    return jax.nn.relu(idepthmap + delta)
+    return jax.nn.relu(idepthmap + delta.astype(idepthmap.dtype))

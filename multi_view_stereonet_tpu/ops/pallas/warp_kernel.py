@@ -113,7 +113,7 @@ def _warp_kernel(ybase_ref, xbase_ref, ix_ref, iy_ref, img_hbm, out_ref,
 def pallas_warp_supported(image_shape, grid_shape) -> bool:
     """Cheap static check: shapes compatible with the tiled kernel."""
     B, H, W, C = image_shape
-    Ho, Wo = grid_shape[-2], grid_shape[-1]
+    Ho, Wo = grid_shape[-3], grid_shape[-2]  # grid is (..., Ho, Wo, 2)
     return (Ho % TILE_R == 0 and Wo % TILE_C == 0
             and H >= BAND_K and W >= BAND_KX)
 

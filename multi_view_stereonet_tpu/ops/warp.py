@@ -67,8 +67,10 @@ def grid_sample(image: jnp.ndarray, grid: jnp.ndarray):
     v10 = gather(y1, x0)
     v11 = gather(y1, x1)
 
-    wx = wx[..., None]
-    wy = wy[..., None]
+    # Interpolate at the image dtype (weights are exact in f32; for bf16
+    # images the value rounding dominates anyway).
+    wx = wx[..., None].astype(image.dtype)
+    wy = wy[..., None].astype(image.dtype)
     top = v00 * (1.0 - wx) + v01 * wx
     bot = v10 * (1.0 - wx) + v11 * wx
     out = top * (1.0 - wy) + bot * wy
