@@ -152,7 +152,10 @@ def run_eval(weights_dir, data_dir, test_split, output_dir="output",
         lkeys, lvals = _flatten_loss_dict(loss_dict)
 
         for i, left_file in enumerate(names):
-            depth_true = batch["left_depthmap_true"][i] * baseline[i]
+            # batch depth is the loader's raw metric depth (the reference
+            # re-multiplies by baseline only because its unpack normalized
+            # it first, test.py:166-186).
+            depth_true = batch["left_depthmap_true"][i]
             idepth_est = idepth0[i]
             depth_est = np.where(idepth_est > 0, 1.0 / np.where(
                 idepth_est > 0, idepth_est, 1.0), idepth_est)
