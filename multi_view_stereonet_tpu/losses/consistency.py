@@ -13,6 +13,19 @@ from .supervised import masked_mean
 from .photometric import reconstruction_photometric_loss
 
 
+def _masked_mean_or_zero(x, mask):
+    """Masked mean that contributes 0 when the mask is empty.
+
+    The reference's boolean-indexing mean NaNs on an empty selection
+    (losses.py:136-138); since the unoccluded-in-both-views intersection
+    can legitimately be empty, an empty mask contributes no loss here
+    instead of poisoning the training step.
+    """
+    m = mask.astype(x.dtype)
+    count = jnp.sum(m)
+    return jnp.where(count > 0, jnp.sum(x * m) / jnp.maximum(count, 1.0), 0.0)
+
+
 def predict_image_from_idepth(K: jnp.ndarray, T_right_in_left: jnp.ndarray,
                               left_idepthmap: jnp.ndarray,
                               right_image: jnp.ndarray):
@@ -96,7 +109,7 @@ def left_right_idepthmap_consistency_losses(
         r_occ_samp, _ = grid_sample(
             right_occlusion_mask_pyr[lvl][..., None].astype(jnp.float32), l2r_pix)
         r_unocc = (~left_occlusion_mask_pyr[lvl]) & ~(r_occ_samp[..., 0] > 0)
-        right_loss = masked_mean(jnp.abs(l2r_id - r_samp[..., 0]), r_unocc)
+        right_loss = _masked_mean_or_zero(jnp.abs(l2r_id - r_samp[..., 0]), r_unocc)
 
         # right -> left
         r2l_pix, r2l_id, _ = project_idepthmap(K, T_left_in_right,
@@ -105,7 +118,7 @@ def left_right_idepthmap_consistency_losses(
         l_occ_samp, _ = grid_sample(
             left_occlusion_mask_pyr[lvl][..., None].astype(jnp.float32), r2l_pix)
         l_unocc = (~right_occlusion_mask_pyr[lvl]) & ~(l_occ_samp[..., 0] > 0)
-        left_loss = masked_mean(jnp.abs(r2l_id - l_samp[..., 0]), l_unocc)
+        left_loss = _masked_mean_or_zero(jnp.abs(r2l_id - l_samp[..., 0]), l_unocc)
 
         loss = loss + right_loss + left_loss
     return loss

@@ -119,13 +119,14 @@ def avg_pool_same(x: jnp.ndarray, patch: int) -> jnp.ndarray:
     if squeeze:
         x = x[..., None]
     pad = patch // 2
-    summed = jax.lax.reduce_window(
-        x,
-        jnp.array(0.0, x.dtype),
-        jax.lax.add,
-        window_dimensions=(1, patch, patch, 1),
-        window_strides=(1, 1, 1, 1),
-        padding=((0, 0), (pad, pad), (pad, pad), (0, 0)),
+    C = x.shape[-1]
+    # Depthwise uniform conv (differentiable, unlike a raw reduce_window).
+    w = jnp.full((patch, patch, 1, C), 1.0 / (patch * patch), dtype=x.dtype)
+    out = jax.lax.conv_general_dilated(
+        x, w,
+        window_strides=(1, 1),
+        padding=((pad, pad), (pad, pad)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=C,
     )
-    out = summed / (patch * patch)
     return out[..., 0] if squeeze else out

@@ -77,7 +77,13 @@ def build_train_step(params_cfg, steps_per_epoch):
         steps_per_epoch=steps_per_epoch,
         batches_per_step=params_cfg["batches_per_step"],
     ))
-    step = make_train_step(model_config, loss_config, tx, multi_view=True)
+    # Two-view recipe (estimate_right_idepthmap, reference
+    # multi_view_stereonet_utils.py:522-537): second forward with roles
+    # swapped feeds the right-view supervised/consistency losses.
+    two_view = bool(params_cfg.get("estimate_right_idepthmap", False))
+    step = make_train_step(model_config, loss_config, tx,
+                           multi_view=not two_view,
+                           estimate_right_idepthmap=two_view)
     return model_config, loss_config, tx, step
 
 
@@ -173,6 +179,13 @@ def train(params_cfg, data_dir, train_split, val_split, output_dir,
         for batch_idx, batch in enumerate(loader):
             names = batch.pop("left_filenames")
             batch.pop("right_filenames")
+            if params_cfg.get("estimate_right_idepthmap", False):
+                # Adapt the V-axis batch to the two-view interface.
+                batch = dict(batch)
+                batch["right_image"] = batch.pop("right_images")[:, 0]
+                if "right_depthmap_true" in batch:
+                    batch["right_depthmap_true"] = batch["right_depthmap_true"][:, 0]
+                batch["T_right_in_left"] = batch["T_right_in_left"][:, 0]
             if params_cfg["batch_size"] % n_data == 0 and n_data > 1:
                 jbatch = shard_batch(mesh, batch)
             else:
