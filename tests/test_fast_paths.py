@@ -1,0 +1,78 @@
+"""Exactness tests for the TPU fast paths (S2D refiners, Pallas warp)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from multi_view_stereonet_tpu.models import init_mvsnet
+from multi_view_stereonet_tpu.models.refiners import idepthmap_refiner
+from multi_view_stereonet_tpu.models.s2d import (
+    idepthmap_refiner_s2d, space_to_depth, depth_to_space,
+)
+
+
+@pytest.fixture(scope="module")
+def params():
+    return init_mvsnet(jax.random.PRNGKey(0))
+
+
+def test_s2d_roundtrip():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 8, 12, 5)).astype(np.float32))
+    np.testing.assert_array_equal(np.asarray(depth_to_space(space_to_depth(x))),
+                                  np.asarray(x))
+
+
+@pytest.mark.parametrize("size", [(64, 80), (30, 40)])
+def test_s2d_refiner_exact(params, size):
+    rng = np.random.default_rng(1)
+    H, W = size
+    g = jnp.asarray(rng.uniform(-1, 1, (2, H, W, 35)).astype(np.float32))
+    idp = jnp.asarray(rng.uniform(0, 2, (2, H, W)).astype(np.float32))
+    a = idepthmap_refiner(params["refiner3"], g, idp)
+    b = idepthmap_refiner_s2d(params["refiner3"], g, idp)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
+
+
+def test_s2d_refiner_bf16_close(params):
+    rng = np.random.default_rng(2)
+    g = jnp.asarray(rng.uniform(-1, 1, (1, 32, 48, 3)).astype(np.float32))
+    idp = jnp.asarray(rng.uniform(0, 2, (1, 32, 48)).astype(np.float32))
+    a = idepthmap_refiner_s2d(params["refiner0"], g, idp)
+    b = idepthmap_refiner_s2d(params["refiner0"], g, idp,
+                              compute_dtype=jnp.bfloat16)
+    rel = np.abs(np.asarray(a) - np.asarray(b)) / (np.abs(np.asarray(a)) + 1e-3)
+    assert rel.mean() < 0.02
+
+
+def test_pallas_warp_interpret_matches_gather():
+    """Kernel semantics vs the XLA gather, via the Pallas interpreter."""
+    from multi_view_stereonet_tpu.ops.warp import homography_grid, grid_sample
+    from multi_view_stereonet_tpu.ops.pallas import warp_kernel as wk
+    from multi_view_stereonet_tpu.ops.warp import _unnormalize_clamp
+    from jax.experimental.pallas import tpu as pltpu
+
+    rng = np.random.default_rng(3)
+    B, H, W, C = 1, 480, 640, 3
+    img = jnp.asarray(rng.normal(size=(B, H, W, C)).astype(np.float32))
+    Hm = np.eye(3, dtype=np.float32)
+    Hm[0, 2] = 5.3
+    Hm[1, 2] = 2.1
+    Hm[0, 1] = 0.02
+    Hj = jnp.asarray(Hm[None])
+    grid = homography_grid(Hj, H, W)
+    ref, _ = grid_sample(img, grid)
+
+    ix = _unnormalize_clamp(grid[..., 0], W)
+    iy = _unnormalize_clamp(grid[..., 1], H)
+    yb, xb, fits = wk._band_bases(ix, iy, H, W)
+    assert bool(fits)
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            out = wk._pallas_resample(img, ix, iy, yb, xb, exact=True)
+    except Exception as e:  # interpreter support varies across jax versions
+        pytest.skip(f"pallas interpret mode unavailable: {e}")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
