@@ -138,8 +138,10 @@ def run_eval(weights_dir, data_dir, test_split, output_dir="output",
         jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
 
         t0 = time.perf_counter()
-        loss, loss_dict, idepth0, baseline = jax.block_until_ready(
-            _eval_step(params, jbatch, model_config, loss_config))
+        out = _eval_step(params, jbatch, model_config, loss_config)
+        # One bulk device->host transfer (per-scalar fetches are round
+        # trips -- pathologically slow over remoted TPU runtimes).
+        loss, loss_dict, idepth0, baseline = jax.device_get(out)
         runtime_ms = (time.perf_counter() - t0) * 1000.0 / len(names)
 
         loss = float(loss)
@@ -147,8 +149,6 @@ def run_eval(weights_dir, data_dir, test_split, output_dir="output",
         total_loss += loss
         num_batches += 1
 
-        idepth0 = np.asarray(idepth0)
-        baseline = np.asarray(baseline)
         lkeys, lvals = _flatten_loss_dict(loss_dict)
 
         for i, left_file in enumerate(names):
