@@ -179,24 +179,13 @@ def _band_bases(ix, iy, H, W):
     return ybase.reshape(B, -1), xbase.reshape(B, -1), fits
 
 
-def homography_warp_pallas(image, grid, exact=True):
-    """Drop-in replacement for ``ops.warp.grid_sample`` on homography grids.
-
-    image: (B, H, W, C); grid: (B, Ho, Wo, 2) normalized coords.
-    Returns (warped (B, Ho, Wo, C), invalid (B, Ho, Wo)).
-    Falls back to the XLA gather when a tile's source span exceeds the band.
-    """
+def _resample_value(image, grid, exact):
+    """Band-kernel resampling with XLA-gather fallback (values only)."""
     from ..warp import grid_sample, _unnormalize_clamp
 
     B, H, W, C = image.shape
-    Ho, Wo = grid.shape[1], grid.shape[2]
-
-    gx = grid[..., 0]
-    gy = grid[..., 1]
-    invalid = (jnp.abs(gx) > 1.0) | (jnp.abs(gy) > 1.0)
-    ix = _unnormalize_clamp(gx, W)
-    iy = _unnormalize_clamp(gy, H)
-
+    ix = _unnormalize_clamp(grid[..., 0], W)
+    iy = _unnormalize_clamp(grid[..., 1], H)
     ybase, xbase, fits = _band_bases(ix, iy, H, W)
 
     def fast(_):
@@ -205,5 +194,39 @@ def homography_warp_pallas(image, grid, exact=True):
     def slow(_):
         return grid_sample(image, grid)[0]
 
-    out = jax.lax.cond(fits, fast, slow, None)
-    return out, invalid
+    return jax.lax.cond(fits, fast, slow, None)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _pallas_grid_sample(image, grid, exact=True):
+    return _resample_value(image, grid, exact)
+
+
+def _pallas_grid_sample_fwd(image, grid, exact):
+    return _resample_value(image, grid, exact), (image, grid)
+
+
+def _pallas_grid_sample_bwd(exact, res, g):
+    # Bilinear border sampling is linear in the image; its exact transpose
+    # (a scatter-add) comes from the XLA path's VJP. Only training paths
+    # pay this -- the Pallas forward stays on the fast path.
+    from ..warp import grid_sample
+
+    image, grid = res
+    _, vjp = jax.vjp(lambda im, gr: grid_sample(im, gr)[0], image, grid)
+    return vjp(g)
+
+
+_pallas_grid_sample.defvjp(_pallas_grid_sample_fwd, _pallas_grid_sample_bwd)
+
+
+def homography_warp_pallas(image, grid, exact=True):
+    """Drop-in replacement for ``ops.warp.grid_sample`` on homography grids.
+
+    image: (B, H, W, C); grid: (B, Ho, Wo, 2) normalized coords.
+    Returns (warped (B, Ho, Wo, C), invalid (B, Ho, Wo)).
+    Falls back to the XLA gather when a tile's source span exceeds the
+    band; differentiable via a custom VJP (XLA scatter transpose).
+    """
+    invalid = (jnp.abs(grid[..., 0]) > 1.0) | (jnp.abs(grid[..., 1]) > 1.0)
+    return _pallas_grid_sample(image, grid, exact), invalid
