@@ -11,6 +11,7 @@ from .transforms import (
     Compose,
     ResizeWithIntrinsics,
     RandomColorJitter,
+    RandomHorizontalFlipStereo,
     Normalize,
     RollRight180,
     TranslationNoise,
@@ -24,7 +25,8 @@ from .loader import BatchLoader
 
 __all__ = [
     "read_multi_view_split", "read_scene_list",
-    "Compose", "ResizeWithIntrinsics", "RandomColorJitter", "Normalize",
+    "Compose", "ResizeWithIntrinsics", "RandomColorJitter",
+    "RandomHorizontalFlipStereo", "Normalize",
     "RollRight180", "TranslationNoise", "RotationNoise",
     "get_training_transforms", "get_testing_transforms",
     "GTASfMMultiViewDataset", "GTASfMStereoDataset", "create_mvs_split",

@@ -142,6 +142,49 @@ class RollRight180:
         return sample
 
 
+class RandomHorizontalFlipStereo:
+    """Horizontal flip of a two-view pair with pose reflection.
+
+    Reflection across the YZ plane at the left camera: images flip left /
+    right swap, the pose becomes reflect(inv(T)) with the x-axis re-derived
+    as y cross z to restore a right-handed frame. Reference:
+    datasets/stereo_dataset.py:179-212 (defined there, disabled in the
+    shipped train transforms :69 -- carried for capability parity).
+    Applies only to samples with exactly one right view.
+    """
+
+    def __init__(self, prob=0.5, rng=None):
+        self.prob = prob
+        self.rng = rng or np.random.default_rng()
+        self.reflection = np.eye(4, dtype=np.float32)
+        self.reflection[0, 0] = -1.0
+
+    @staticmethod
+    def _flip(im):
+        if isinstance(im, Image.Image):
+            return im.transpose(Image.FLIP_LEFT_RIGHT)
+        return np.ascontiguousarray(np.asarray(im)[:, ::-1])
+
+    def __call__(self, sample):
+        if len(sample["right_images"]) != 1 or self.rng.uniform() >= self.prob:
+            return sample
+        left, right = sample["left_image"], sample["right_images"][0]
+        sample["left_image"] = self._flip(right)
+        sample["right_images"] = [self._flip(left)]
+
+        T = np.asarray(sample["T_right_in_left"][0])
+        T = self.reflection @ np.linalg.inv(T)
+        T[:3, 0] = np.cross(T[:3, 1], T[:3, 2])
+        sample["T_right_in_left"][0] = T.astype(np.float32)
+
+        if "left_depthmap_true" in sample:
+            ld = sample["left_depthmap_true"]
+            rd = sample["right_depthmaps_true"][0]
+            sample["left_depthmap_true"] = self._flip(rd)
+            sample["right_depthmaps_true"] = [self._flip(ld)]
+        return sample
+
+
 class TranslationNoise:
     """Gaussian translation noise on poses (:148-155)."""
 

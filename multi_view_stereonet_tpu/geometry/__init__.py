@@ -28,6 +28,7 @@ from .projection import (
     disparity_to_idepth,
     idepth_to_disparity,
     project_idepthmap,
+    rectified_disparity_to_depth,
 )
 from .sampling import create_idepth_samples
 
@@ -48,5 +49,6 @@ __all__ = [
     "disparity_to_idepth",
     "idepth_to_disparity",
     "project_idepthmap",
+    "rectified_disparity_to_depth",
     "create_idepth_samples",
 ]

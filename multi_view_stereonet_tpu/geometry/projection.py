@@ -191,3 +191,17 @@ def project_idepthmap(K: jnp.ndarray, T_right_in_left: jnp.ndarray,
 
     invalid = (jnp.abs(right_pixels[..., 0]) > 1.0) | (jnp.abs(right_pixels[..., 1]) > 1.0)
     return right_pixels, right_idepths, invalid
+
+
+def rectified_disparity_to_depth(K: jnp.ndarray, T_right_in_left: jnp.ndarray,
+                                 left_disparity: jnp.ndarray,
+                                 eps: float = 1e-7) -> jnp.ndarray:
+    """Rectified disparity -> depth: fx * ||t|| / disparity.
+
+    K, T_right_in_left: (B, 4, 4); left_disparity: (B, rows, cols).
+    Reference: image_predictor.py:18-34.
+    """
+    fx = K[:, 0, 0][:, None, None]
+    t = T_right_in_left[:, :3, 3]
+    baseline = jnp.sqrt(jnp.sum(t * t, axis=-1))[:, None, None]
+    return fx * baseline / (left_disparity + eps)

@@ -142,3 +142,48 @@ def resnet_block(params, x: jnp.ndarray, dilation: int = 1) -> jnp.ndarray:
     out = group_norm(params["gn"], out, groups=c // 8)
     out = leaky_relu(out)
     return out + x
+
+
+def init_basic_block(key, cin: int, cout: int):
+    """Two-conv residual block params (torchvision-style BasicBlock).
+
+    Reference: utils/resnet.py:20-60 -- defined there but unused by the
+    shipped model; carried for capability parity.
+    """
+    import jax as _jax
+
+    k1, k2 = _jax.random.split(key)
+    return {
+        "conv1": init_conv2d(k1, 3, 3, cin, cout, bias=False),
+        "gn1": init_group_norm(cout),
+        "conv2": init_conv2d(k2, 3, 3, cout, cout, bias=False),
+        "gn2": init_group_norm(cout),
+    }
+
+
+def basic_block(params, x: jnp.ndarray, dilation: int = 1) -> jnp.ndarray:
+    """conv-norm-relu-conv-norm + identity, final ReLU (resnet.py:44-60)."""
+    c = params["conv1"]["w"].shape[-1]
+    out = conv2d(params["conv1"], x, dilation=dilation)
+    out = leaky_relu(group_norm(params["gn1"], out, groups=c // 8))
+    out = conv2d(params["conv2"], out, dilation=dilation)
+    out = group_norm(params["gn2"], out, groups=c // 8)
+    return leaky_relu(out + x)
+
+
+def init_resnet_block3d(key, cin: int, cout: int):
+    """Single-conv 3-D residual block params (SimpleBasicBlock3D,
+    resnet.py:111-159 -- defined but unused by the reference model)."""
+    return {
+        "conv": init_conv3d(key, 3, cin, cout, bias=True),
+        "gn": init_group_norm(cout),
+    }
+
+
+def resnet_block3d(params, x: jnp.ndarray) -> jnp.ndarray:
+    """conv3d -> GroupNorm -> LeakyReLU -> + identity (no final act)."""
+    c = params["conv"]["w"].shape[-1]
+    out = conv3d(params["conv"], x)
+    out = group_norm(params["gn"], out, groups=c // 8)
+    out = leaky_relu(out)
+    return out + x

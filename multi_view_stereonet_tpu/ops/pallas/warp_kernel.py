@@ -36,7 +36,7 @@ BAND_KX = 384   # source cols in band (128-aligned base + slack)
 
 
 def _warp_kernel(ybase_ref, xbase_ref, ix_ref, iy_ref, img_hbm, out_ref,
-                 band, sem, *, C: int, exact: bool):
+                 band, sem, *, C: int, exact: str):
     # img_hbm is channels-first (B, C, H, W) so the band lands as
     # (C, BAND_K, BAND_KX) and every reshape below only merges/splits
     # leading dims (lane dim stays BAND_KX / C*K -- Mosaic-friendly).
@@ -80,8 +80,11 @@ def _warp_kernel(ybase_ref, xbase_ref, ix_ref, iy_ref, img_hbm, out_ref,
 
     dma.wait()
 
-    precision = (jax.lax.Precision.HIGHEST if exact
-                 else jax.lax.Precision.DEFAULT)
+    precision = {
+        "highest": jax.lax.Precision.HIGHEST,
+        "high": jax.lax.Precision.HIGH,
+        "default": jax.lax.Precision.DEFAULT,
+    }[exact]
 
     # x-interp: (n, Kx) x (C*K, Kx)^T -> (n, C*K), lane index = c*K + k.
     band2d = band[:].reshape(C * BAND_K, BAND_KX)
@@ -119,7 +122,11 @@ def pallas_warp_supported(image_shape, grid_shape) -> bool:
 
 
 @functools.partial(jax.jit, static_argnames=("exact",))
-def _pallas_resample(image, ix, iy, ybase, xbase, exact=True):
+def _pallas_resample(image, ix, iy, ybase, xbase, exact="highest"):
+    if exact is True:
+        exact = "highest"
+    elif exact is False:
+        exact = "default"
     B, H, W, C = image.shape
     Ho, Wo = ix.shape[1], ix.shape[2]
     nty, ntx = Ho // TILE_R, Wo // TILE_C
@@ -198,7 +205,7 @@ def _resample_value(image, grid, exact):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def _pallas_grid_sample(image, grid, exact=True):
+def _pallas_grid_sample(image, grid, exact="highest"):
     return _resample_value(image, grid, exact)
 
 
@@ -220,7 +227,7 @@ def _pallas_grid_sample_bwd(exact, res, g):
 _pallas_grid_sample.defvjp(_pallas_grid_sample_fwd, _pallas_grid_sample_bwd)
 
 
-def homography_warp_pallas(image, grid, exact=True):
+def homography_warp_pallas(image, grid, exact="highest"):
     """Drop-in replacement for ``ops.warp.grid_sample`` on homography grids.
 
     image: (B, H, W, C); grid: (B, Ho, Wo, 2) normalized coords.

@@ -17,6 +17,7 @@ hypotheses). A Pallas kernel with the same semantics can be swapped in via
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..geometry.projection import pixel_grid
@@ -78,6 +79,66 @@ def grid_sample(image: jnp.ndarray, grid: jnp.ndarray):
     return out.reshape(*out_shape, C), invalid.reshape(out_shape)
 
 
+def grid_sample_onehot(image: jnp.ndarray, grid: jnp.ndarray):
+    """Gather-free bilinear sampling for SMALL images via one-hot matmuls.
+
+    TPU gathers lower to scalar loops; for small sources (level-4 feature
+    maps, 30x40) it is faster to express the x-interpolation as a dense
+    one-hot matmul over the source width and the y-interpolation as a
+    select-accumulate -- everything runs on MXU/VPU. Exact same semantics
+    as ``grid_sample`` (f32 weights, HIGHEST-precision contraction).
+
+    image: (B, H, W, C); grid: (B, ..., 2). Cost scales with W and H, so
+    use only when H*W is small (see ``grid_sample_auto``).
+    """
+    B, H, W, C = image.shape
+    out_shape = grid.shape[:-1]
+
+    gx = grid[..., 0].reshape(B, -1)
+    gy = grid[..., 1].reshape(B, -1)
+    N = gx.shape[1]
+
+    invalid = (jnp.abs(gx) > 1.0) | (jnp.abs(gy) > 1.0)
+
+    ix = _unnormalize_clamp(gx, W)
+    iy = _unnormalize_clamp(gy, H)
+
+    x0f = jnp.floor(ix)
+    wx = (ix - x0f)[..., None]
+    x0 = x0f.astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, W - 1)
+    y0f = jnp.floor(iy)
+    wy = (iy - y0f)[..., None]
+    y0 = y0f.astype(jnp.int32)
+    y1 = jnp.minimum(y0 + 1, H - 1)
+
+    cols = jax.lax.broadcasted_iota(jnp.int32, (B, N, W), 2)
+    Wx = (jnp.where(cols == x0[..., None], 1.0 - wx, 0.0)
+          + jnp.where(cols == x1[..., None], wx, 0.0))
+    # x-interpolate every source row at every sample's x position.
+    xi = jnp.einsum("bnw,bhwc->bnhc", Wx, image, precision="highest")
+
+    ys = jax.lax.broadcasted_iota(jnp.int32, (B, N, H), 2)
+    Wy = (jnp.where(ys == y0[..., None], 1.0 - wy, 0.0)
+          + jnp.where(ys == y1[..., None], wy, 0.0))
+    out = jnp.einsum("bnh,bnhc->bnc", Wy, xi, precision="highest")
+    out = out.astype(image.dtype)  # f32 weights promote bf16 values
+
+    return out.reshape(*out_shape, C), invalid.reshape(out_shape)
+
+
+# Sources at or below this pixel count route to the one-hot matmul path.
+_ONEHOT_MAX_SOURCE_PIXELS = 2048
+
+
+def grid_sample_auto(image: jnp.ndarray, grid: jnp.ndarray):
+    """grid_sample with TPU-aware implementation selection."""
+    small = image.shape[1] * image.shape[2] <= _ONEHOT_MAX_SOURCE_PIXELS
+    if small and jax.default_backend() == "tpu":
+        return grid_sample_onehot(image, grid)
+    return grid_sample(image, grid)
+
+
 def homography_grid(H: jnp.ndarray, rows: int, cols: int) -> jnp.ndarray:
     """Normalized sampling grid for warping by homographies.
 
@@ -102,7 +163,7 @@ def homography_warp(image: jnp.ndarray, H: jnp.ndarray):
     """
     rows, cols = image.shape[1], image.shape[2]
     grid = homography_grid(H, rows, cols)
-    return grid_sample(image, grid)
+    return grid_sample_auto(image, grid)
 
 
 def homography_warp_auto(image: jnp.ndarray, H: jnp.ndarray,
@@ -113,8 +174,6 @@ def homography_warp_auto(image: jnp.ndarray, H: jnp.ndarray,
     than the XLA gather at 480x640); falls back to ``grid_sample``
     otherwise. Semantics identical to ``homography_warp``.
     """
-    import jax
-
     rows, cols = image.shape[1], image.shape[2]
     grid = homography_grid(H, rows, cols)
 
@@ -147,7 +206,7 @@ def plane_sweep_warp(image: jnp.ndarray, H_family: jnp.ndarray,
     """
     rows, cols = image.shape[1], image.shape[2]
     grid = homography_grid(H_family, rows, cols)  # (B, D, rows, cols, 2)
-    vol, invalid = grid_sample(image, grid)
+    vol, invalid = grid_sample_auto(image, grid)
     if zero_invalid:
         vol = jnp.where(invalid[..., None], 0.0, vol)
     return vol, invalid

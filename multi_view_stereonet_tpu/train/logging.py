@@ -197,3 +197,21 @@ def log_debug_images(epoch, step, batch_idx, inputs, outputs, output_dir):
         Image.fromarray(np.uint8(rgb[..., :3] * 255)).save(
             os.path.join(lvl_dir, f"{image_id}_{epoch:04d}.jpg"))
         image_gallery.create_training_gallery(lvl_dir)
+
+
+def log_debug_occlusion_mask(epoch, step, image_id, mask, truth, output_dir):
+    """Dump a boolean occlusion mask (and optional truth) as grayscale jpgs.
+
+    Reference: log_debug_occlusion_mask
+    (multi_view_stereonet_utils.py:272-289).
+    """
+    from PIL import Image as _Image
+
+    os.makedirs(output_dir, exist_ok=True)
+    m = (np.asarray(mask).squeeze().astype(np.uint8)) * 255
+    _Image.fromarray(m, "L").save(
+        os.path.join(output_dir, f"{image_id}_{epoch:04d}.jpg"))
+    if truth is not None:
+        t = (np.asarray(truth).squeeze().astype(np.uint8)) * 255
+        _Image.fromarray(t, "L").save(
+            os.path.join(output_dir, f"{image_id}_true.jpg"))
