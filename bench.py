@@ -48,14 +48,16 @@ def main():
     else:
         params = init_mvsnet(jax.random.PRNGKey(0))
 
-    config = MultiViewStereoNetConfig()
+    def make_forward(config):
+        def forward(params, batch):
+            inputs = multi_view_unpack_batch(batch)
+            out = mvsnet_forward(
+                params, inputs["left_image_pyr"], inputs["K_pyr"],
+                inputs["T_right_in_left"], inputs["right_image_pyr"], config)
+            return out["left_idepthmap_pyr"][0]
+        return forward
 
-    def forward(params, batch):
-        inputs = multi_view_unpack_batch(batch)
-        out = mvsnet_forward(
-            params, inputs["left_image_pyr"], inputs["K_pyr"],
-            inputs["T_right_in_left"], inputs["right_image_pyr"], config)
-        return out["left_idepthmap_pyr"][0]
+    forward = make_forward(MultiViewStereoNetConfig())
 
     def measure(B, iters):
         """Device-side loop timing: one dispatch covers ``iters`` forwards
@@ -82,6 +84,8 @@ def main():
 
     fps_b1 = measure(1, 50)
     fps_b8 = measure(8, 20)
+    forward = make_forward(MultiViewStereoNetConfig(compute_dtype="bfloat16"))
+    fps_b8_bf16 = measure(8, 20)
 
     result = {
         "metric": "depthmaps/sec single v5e chip (480x640, 12 hyps, batch 1)",
@@ -89,6 +93,7 @@ def main():
         "unit": "depthmaps/sec",
         "vs_baseline": round(fps_b1 / REFERENCE_FPS_ESTIMATE, 1),
         "batch8_throughput": round(fps_b8, 1),
+        "batch8_bf16_throughput": round(fps_b8_bf16, 1),
         "ms_per_frame_b1": round(1000.0 / fps_b1, 2),
         "device": str(jax.devices()[0]),
         "weights": "pretrained" if os.path.exists(PRETRAINED) else "random",

@@ -101,7 +101,8 @@ def _flatten_loss_dict(loss_dict):
 
 def run_eval(weights_dir, data_dir, test_split, output_dir="output",
              batch_size=1, save_images=False, params_file=None,
-             model_overrides=None):
+             model_overrides=None, roll_right_image_180=False,
+             add_translation_noise=False, add_rotation_noise=False):
     assert not os.path.exists(output_dir), f"{output_dir} already exists"
     os.makedirs(output_dir)
 
@@ -123,7 +124,9 @@ def run_eval(weights_dir, data_dir, test_split, output_dir="output",
     )
 
     params = load_any_params(weights_dir)
-    loader = load_data(data_dir, test_split, params_cfg, batch_size)
+    loader = load_data(data_dir, test_split, params_cfg, batch_size,
+                       roll_right_image_180, add_translation_noise,
+                       add_rotation_noise)
 
     min_depth, max_depth = depth_limits(test_split)
     total_loss, num_batches = 0.0, 0
@@ -226,12 +229,19 @@ def main():
     parser.add_argument("--output_dir", default="output")
     parser.add_argument("--batch_size", type=int, default=1)
     parser.add_argument("--params_yaml", default=None)
+    # Robustness perturbations (reference test.py:285-290, off by default).
+    parser.add_argument("--roll_right_image_180", action="store_true")
+    parser.add_argument("--add_translation_noise", action="store_true")
+    parser.add_argument("--add_rotation_noise", action="store_true")
     args = parser.parse_args()
 
     loss, avg = run_eval(
         os.path.abspath(args.weights_dir), os.path.abspath(args.data_dir),
         os.path.abspath(args.test_split), args.output_dir, args.batch_size,
-        args.save_images, args.params_yaml)
+        args.save_images, args.params_yaml,
+        roll_right_image_180=args.roll_right_image_180,
+        add_translation_noise=args.add_translation_noise,
+        add_rotation_noise=args.add_rotation_noise)
     print("avg loss:", loss)
     print("avg depth metrics:", avg)
 
