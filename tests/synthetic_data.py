@@ -70,10 +70,12 @@ def _render_view(texture, tex_K, K, rows, cols, T_cam, plane_depth):
 
 
 def make_gta_sfm_tree(root, num_sequences=2, frames=4, rows=96, cols=128,
-                      plane_depth=8.0, seed=0):
+                      plane_depth=8.0, seed=0, comparisons=1):
     """Write a GTA-SfM-layout tree + a multi-view split file.
 
-    Returns (data_dir, split_path).
+    ``comparisons`` controls the number of comparison views per split line
+    (the reference's *_Ncmps_test.txt variants). Returns (data_dir,
+    split_path).
     """
     rng = np.random.default_rng(seed)
     data_dir = os.path.join(root, "data")
@@ -112,8 +114,9 @@ def make_gta_sfm_tree(root, num_sequences=2, frames=4, rows=96, cols=128,
         with open(os.path.join(data_dir, seq, "poses.txt"), "w") as fh:
             fh.write("\n".join(p_lines) + "\n")
 
-        for f in range(frames - 1):
-            split_lines.append(f"{names[f]} {names[f + 1]}")
+        for f in range(frames - comparisons):
+            cmps = " ".join(names[f + 1:f + 1 + comparisons])
+            split_lines.append(f"{names[f]} {cmps}")
 
     split_path = os.path.join(root, "gta_sfm_synth_test.txt")
     with open(split_path, "w") as fh:
