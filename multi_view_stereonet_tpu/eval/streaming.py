@@ -1,0 +1,129 @@
+"""Batched streaming inference over a device mesh.
+
+The production-serving configuration (BASELINE.md: "batched streaming
+inference on a v5e-8 slice"): a host-side loader thread keeps a queue of
+fixed-shape batches while the devices run the jitted forward; batches are
+sharded over the ``data`` mesh axis, so an N-chip slice processes N
+device-batches per step with no code changes.
+
+Usage (library):
+    runner = StreamingRunner(params, model_config, mesh=make_mesh())
+    for idepthmaps, names in runner.run(dataset, batch_size=8):
+        ...
+
+CLI:
+    python -m multi_view_stereonet_tpu.eval.streaming \
+        <weights_dir> <data_dir> <split> [--batch_size 8] [--bf16]
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import os
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..data import BatchLoader
+from ..models import MultiViewStereoNetConfig, mvsnet_forward
+from ..parallel import make_mesh, shard_batch, replicated
+from ..train.pipeline import multi_view_unpack_batch
+
+
+class StreamingRunner:
+    def __init__(self, params, model_config: MultiViewStereoNetConfig,
+                 mesh=None):
+        self.mesh = mesh if mesh is not None else make_mesh(view=1)
+        self.params = jax.device_put(params, replicated(self.mesh))
+        self.model_config = model_config
+
+        @functools.partial(jax.jit, static_argnames=("config",))
+        def forward(params, batch, config):
+            inputs = multi_view_unpack_batch(batch)
+            out = mvsnet_forward(
+                params, inputs["left_image_pyr"], inputs["K_pyr"],
+                inputs["T_right_in_left"], inputs["right_image_pyr"], config)
+            idepth = out["left_idepthmap_pyr"][0]
+            return idepth / inputs["baseline"][:, None, None]
+
+        self._forward = forward
+
+    def run(self, dataset, batch_size=8, prefetch=4):
+        """Yields (idepthmaps (B, H, W) np.ndarray, left filenames).
+
+        The loader thread stays ``prefetch`` batches ahead; device steps
+        are dispatched asynchronously, so decode, H2D, compute and D2H
+        overlap across consecutive batches.
+        """
+        loader = BatchLoader(dataset, batch_size, shuffle=False,
+                             prefetch=prefetch, drop_last=False)
+        n_data = self.mesh.devices.size
+        pending = []
+        with self.mesh:
+            for batch in loader:
+                names = batch.pop("left_filenames")
+                batch.pop("right_filenames", None)
+                batch.pop("left_depthmap_true", None)
+                batch.pop("right_depthmap_true", None)
+                actual = batch["left_image"].shape[0]
+                if actual % n_data == 0 and n_data > 1:
+                    jbatch = shard_batch(self.mesh, batch)
+                else:  # trailing partial batch: replicate instead of shard
+                    jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+                out = self._forward(self.params, jbatch, self.model_config)
+                pending.append((out, names))
+                if len(pending) > 1:  # keep one step in flight
+                    done, dnames = pending.pop(0)
+                    yield np.asarray(done), dnames
+            for done, dnames in pending:
+                yield np.asarray(done), dnames
+
+
+def main():
+    from ..checkpoint.native import load_any_params
+    from ..data import GTASfMMultiViewDataset, DeMoNDataset, get_testing_transforms
+    from ..train.config import load_params_yaml
+
+    parser = argparse.ArgumentParser(description="Batched streaming inference.")
+    parser.add_argument("weights_dir")
+    parser.add_argument("data_dir")
+    parser.add_argument("test_split")
+    parser.add_argument("--batch_size", type=int, default=8)
+    parser.add_argument("--bf16", action="store_true")
+    parser.add_argument("--params_yaml", default=None)
+    args = parser.parse_args()
+
+    params_file = args.params_yaml or os.path.join(
+        args.weights_dir, "..", "..", "params.yaml")
+    cfg = load_params_yaml(params_file)
+    transforms = get_testing_transforms(cfg)
+    if "gta_sfm" in args.test_split:
+        dataset = GTASfMMultiViewDataset(args.data_dir, args.test_split, 0,
+                                         transforms)
+    else:
+        dataset = DeMoNDataset(args.data_dir, args.test_split,
+                               num_right_images=1, transform=transforms)
+
+    model_config = MultiViewStereoNetConfig(
+        num_idepth_samples=cfg["num_idepth_samples"],
+        do_cost_volume_filter=cfg["cost_volume_filter"],
+        do_refiners=tuple(cfg["refiners"]),
+        compute_dtype="bfloat16" if args.bf16 else "float32",
+    )
+    runner = StreamingRunner(load_any_params(args.weights_dir), model_config)
+
+    t0 = time.perf_counter()
+    count = 0
+    for idepths, names in runner.run(dataset, args.batch_size):
+        count += len(names)
+    dt = time.perf_counter() - t0
+    print(f"{count} depthmaps in {dt:.2f}s -> {count / dt:.1f} depthmaps/sec "
+          f"on {runner.mesh.devices.size} device(s)")
+
+
+if __name__ == "__main__":
+    main()
