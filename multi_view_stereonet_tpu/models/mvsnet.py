@@ -62,6 +62,10 @@ class MultiViewStereoNetConfig:
     # bfloat16 mode only feature extraction, cost filtering and refiner
     # conv pipelines run at reduced precision.
     compute_dtype: str = "float32"
+    # Matmul/conv precision: "default" (bf16 MXU passes, ~0.5% mean output
+    # deviation from the f32 reference on TPU) or "highest" (f32-exact
+    # multi-pass, ~2x slower convs; matches the CPU golden tests).
+    matmul_precision: str = "default"
 
 
 def init_mvsnet(key):
@@ -172,6 +176,20 @@ def mvsnet_forward(params, left_image_pyr, K_pyr, T_right_in_lefts,
                                 entry is the raw soft-argmin)
       left_idepthmap_mask_pyr : [(B, D, h, w)] validity masks
     """
+    D = config.num_idepth_samples
+    do_refiners = tuple(config.do_refiners)
+    cdt = jnp.dtype(config.compute_dtype)
+
+    if config.matmul_precision != "default":
+        with jax.default_matmul_precision(config.matmul_precision):
+            return _forward_impl(params, left_image_pyr, K_pyr,
+                                 T_right_in_lefts, right_image_pyrs, config)
+    return _forward_impl(params, left_image_pyr, K_pyr, T_right_in_lefts,
+                         right_image_pyrs, config)
+
+
+def _forward_impl(params, left_image_pyr, K_pyr, T_right_in_lefts,
+                  right_image_pyrs, config: MultiViewStereoNetConfig):
     D = config.num_idepth_samples
     do_refiners = tuple(config.do_refiners)
     cdt = jnp.dtype(config.compute_dtype)
