@@ -176,10 +176,6 @@ def mvsnet_forward(params, left_image_pyr, K_pyr, T_right_in_lefts,
                                 entry is the raw soft-argmin)
       left_idepthmap_mask_pyr : [(B, D, h, w)] validity masks
     """
-    D = config.num_idepth_samples
-    do_refiners = tuple(config.do_refiners)
-    cdt = jnp.dtype(config.compute_dtype)
-
     if config.matmul_precision != "default":
         with jax.default_matmul_precision(config.matmul_precision):
             return _forward_impl(params, left_image_pyr, K_pyr,
