@@ -86,7 +86,8 @@ def init_mvsnet(key):
 
 def incremental_right_features(params, T_right_in_left, K0, K4,
                                right_image0, right_image4, idepth_samples,
-                               compute_dtype=jnp.float32):
+                               compute_dtype=jnp.float32,
+                               warp_precision="highest"):
     """Incrementally-warped right feature volume (the paper's core trick).
 
     T_right_in_left: (N, 4, 4) unit-baseline poses (N = batch*views);
@@ -111,7 +112,9 @@ def incremental_right_features(params, T_right_in_left, K0, K4,
     # run the full feature extractor once (:254-261). This is the largest
     # warp in the network -- routed to the Pallas band kernel on TPU.
     H_min = create_plane_sweep_homographies(T_right_in_left, K0, idepth_samples[:, :1])
-    warped0, _ = homography_warp_auto(right_image0, H_min[:, 0], zero_invalid=True)
+    warped0, _ = homography_warp_auto(right_image0, H_min[:, 0],
+                                      zero_invalid=True,
+                                      precision=warp_precision)
     feats0 = feature_network(params["feature_network"],
                              warped0.astype(compute_dtype))[-1]
 
@@ -208,9 +211,14 @@ def _forward_impl(params, left_image_pyr, K_pyr, T_right_in_lefts,
 
     idepth_samples = create_idepth_samples(T_bv, K4_bv, h4, w4, D)  # (B*V, D)
 
+    # The warp kernel's matmul precision follows the model knob: with
+    # default (bf16) convs an f32-exact warp buys nothing, so the big warp
+    # runs single-pass too (HIGHEST restores bit-level warp exactness).
     right_feat_vol, right_mask_vol = incremental_right_features(
         params, T_bv, K0_bv, K4_bv, right0_bv, right4_bv, idepth_samples,
-        compute_dtype=cdt)
+        compute_dtype=cdt,
+        warp_precision=("highest" if config.matmul_precision == "highest"
+                        else "default"))
 
     # Cost volume: |left - right|, invalid voxels zeroed (:587-592).
     left_vol = jnp.repeat(left_feats4, V, axis=0)[:, None]  # (B*V, 1, h4, w4, C)

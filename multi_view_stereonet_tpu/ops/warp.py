@@ -167,7 +167,8 @@ def homography_warp(image: jnp.ndarray, H: jnp.ndarray):
 
 
 def homography_warp_auto(image: jnp.ndarray, H: jnp.ndarray,
-                         zero_invalid: bool = False):
+                         zero_invalid: bool = False,
+                         precision: str = "highest"):
     """Homography warp routed to the Pallas band kernel when profitable.
 
     Uses the Pallas kernel on TPU for tile-compatible shapes (~3x faster
@@ -184,7 +185,7 @@ def homography_warp_auto(image: jnp.ndarray, H: jnp.ndarray,
 
     if use_pallas:
         from .pallas import homography_warp_pallas
-        out, invalid = homography_warp_pallas(image, grid)
+        out, invalid = homography_warp_pallas(image, grid, exact=precision)
     else:
         out, invalid = grid_sample(image, grid)
     if zero_invalid:
