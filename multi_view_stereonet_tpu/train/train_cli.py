@@ -64,6 +64,8 @@ def build_train_step(params_cfg, steps_per_epoch):
         num_idepth_samples=params_cfg["num_idepth_samples"],
         do_cost_volume_filter=params_cfg["cost_volume_filter"],
         do_refiners=tuple(params_cfg["refiners"]),
+        compute_dtype=params_cfg.get("compute_dtype", "float32"),
+        matmul_precision=params_cfg.get("matmul_precision", "default"),
     )
     loss_config = LossConfig(
         supervision_factor=params_cfg["supervision_factor"],
