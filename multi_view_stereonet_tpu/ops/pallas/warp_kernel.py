@@ -60,22 +60,27 @@ def _warp_kernel(ybase_ref, xbase_ref, ix_ref, iy_ref, img_hbm, out_ref,
     ix = jnp.clip(ix, 0.0, BAND_KX - 1.0)
     iy = jnp.clip(iy, 0.0, BAND_K - 1.0)
 
-    x0f = jnp.floor(ix)
-    wx = ix - x0f
-    x0 = x0f.astype(jnp.int32)
-    x1 = jnp.minimum(x0 + 1, BAND_KX - 1)
-
-    y0f = jnp.floor(iy)
-    wy = iy - y0f
-    y0 = y0f.astype(jnp.int32)
-    y1 = jnp.minimum(y0 + 1, BAND_K - 1)
-
     # One-hot x-interpolation matrix (TILE_R*TILE_C, BAND_KX), built in 3D
     # (lane dim stays BAND_KX; only leading dims merge in the reshape).
+    #
+    # Two constructions (measured on v5e, whole 480x640 warp):
+    # - "hat" relu(1 - |col - ix|): float-only VPU ops, 0.74 ms. The x1
+    #   weight is 1-(1-wx), i.e. within 1 ulp of wx -- far below the bf16
+    #   MXU truncation DEFAULT precision applies anyway.
+    # - float-compare selects: bit-identical weights to the XLA gather
+    #   reference, 0.92 ms (int-compare selects lower much worse: 1.25 ms).
+    # exact="highest" promises bit-parity with the XLA path, so it takes
+    # the select construction; everything else takes the hat.
     n = TILE_R * TILE_C
-    cols = jax.lax.broadcasted_iota(jnp.int32, (TILE_R, TILE_C, BAND_KX), 2)
-    Wx3 = (jnp.where(cols == x0[..., None], 1.0 - wx[..., None], 0.0)
-           + jnp.where(cols == x1[..., None], wx[..., None], 0.0))
+    cols = jax.lax.broadcasted_iota(
+        jnp.int32, (TILE_R, TILE_C, BAND_KX), 2).astype(jnp.float32)
+    if exact == "highest":
+        x0f = jnp.floor(ix)[..., None]
+        wx = ix[..., None] - x0f
+        Wx3 = (jnp.where(cols == x0f, 1.0 - wx, 0.0)
+               + jnp.where(cols == x0f + 1.0, wx, 0.0))
+    else:
+        Wx3 = jax.nn.relu(1.0 - jnp.abs(cols - ix[..., None]))
     Wx = Wx3.reshape(n, BAND_KX)
 
     dma.wait()
@@ -94,12 +99,17 @@ def _warp_kernel(ybase_ref, xbase_ref, ix_ref, iy_ref, img_hbm, out_ref,
         preferred_element_type=jnp.float32)
     xi3 = xi.reshape(TILE_R, TILE_C, C * BAND_K)
 
-    # y-interpolation weights along the c*K+k lane axis (k = lane % K).
+    # y-interpolation weights along the c*K+k lane axis (k = lane % K),
+    # same two constructions as Wx above.
     lanes = jax.lax.broadcasted_iota(jnp.int32, (TILE_R, TILE_C, C * BAND_K), 2)
-    k_idx = jax.lax.rem(lanes, BAND_K)
-    wy3 = wy[..., None]
-    Wy3 = (jnp.where(k_idx == y0[..., None], 1.0 - wy3, 0.0)
-           + jnp.where(k_idx == y1[..., None], wy3, 0.0))
+    k_idx = jax.lax.rem(lanes, BAND_K).astype(jnp.float32)
+    if exact == "highest":
+        y0f = jnp.floor(iy)[..., None]
+        wy3 = iy[..., None] - y0f
+        Wy3 = (jnp.where(k_idx == y0f, 1.0 - wy3, 0.0)
+               + jnp.where(k_idx == y0f + 1.0, wy3, 0.0))
+    else:
+        Wy3 = jax.nn.relu(1.0 - jnp.abs(k_idx - iy[..., None]))
     prod = (xi3 * Wy3).reshape(n, C * BAND_K)
 
     # Sum the K lanes of each channel with a 0/1 selection matmul.
