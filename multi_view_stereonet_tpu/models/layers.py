@@ -104,11 +104,20 @@ def group_norm(params, x: jnp.ndarray, groups: int, eps: float = 1e-5) -> jnp.nd
     orig_dtype = x.dtype
     B = x.shape[0]
     C = x.shape[-1]
-    g = x.reshape(B, -1, groups, C // groups).astype(jnp.float32)
-    mean = jnp.mean(g, axis=(1, 3), keepdims=True)
-    var = jnp.mean(jnp.square(g - mean), axis=(1, 3), keepdims=True)
-    g = (g - mean) * jax.lax.rsqrt(var + eps)
-    out = g.reshape(x.shape)
+    gs = C // groups
+    spatial = tuple(range(1, x.ndim - 1))
+    xf = x.astype(jnp.float32)
+
+    def pool(v):  # (B, C) per-channel -> (B, C) per-group broadcast
+        g = jnp.mean(v.reshape(B, groups, gs), axis=2)
+        return jnp.repeat(g, gs, axis=1).reshape((B,) + (1,) * len(spatial) + (C,))
+
+    # Spatial-first one-pass moments in the native channels-last layout
+    # (no big reshape; both reductions come out of one read -- same trick
+    # and measurement as s2d.group_norm_s2d).
+    mean = pool(jnp.mean(xf, axis=spatial))
+    var = pool(jnp.mean(jnp.square(xf), axis=spatial)) - jnp.square(mean)
+    out = (xf - mean) * jax.lax.rsqrt(var + eps)
     out = out * params["scale"] + params["bias"]
     return out.astype(orig_dtype)
 
