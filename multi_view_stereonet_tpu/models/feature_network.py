@@ -30,17 +30,32 @@ def init_feature_network(key, in_channels: int = 3):
     return params
 
 
-def feature_network(params, x):
+def feature_network(params, x, use_s2d: bool = False):
     """x: (B, H, W, 3). Returns 5-level pyramid; last entry is features.
 
     Pyramid levels: [x, conv0(x), conv1(.), conv2(.), final features].
+
+    ``use_s2d`` computes each stride-2 conv in space-to-depth layout
+    (models/s2d.py: exact same op, MXU-friendly shapes) wherever the input
+    dims are even; values are unchanged up to f32 summation order.
     """
+    def conv_down(p, h):
+        H, W, Cin = h.shape[1], h.shape[2], h.shape[3]
+        # S2D only pays when the packed input fills the MXU lanes (4*Cin
+        # = 128); for the 3-channel first conv every repacking measured
+        # slower than XLA's direct lowering (s2d 0.68 ms, double-s2d 2.0,
+        # im2col 2.7 vs direct 0.29 at 480x640 on v5e) -- leave it direct.
+        if use_s2d and Cin % 32 == 0 and H % 2 == 0 and W % 2 == 0:
+            from .s2d import conv2d_stride2_s2d
+            return conv2d_stride2_s2d(p, h)
+        return conv2d(p, h, stride=2)
+
     pyramid = [x]
     h = x
     for i in range(3):
-        h = conv2d(params[f"conv{i}"], h, stride=2)
+        h = conv_down(params[f"conv{i}"], h)
         pyramid.append(h)
-    h = conv2d(params["conv3"], h, stride=2)
+    h = conv_down(params["conv3"], h)
     for i in range(NUM_RES_BLOCKS):
         h = resnet_block(params[f"res{i}"], h)
     pyramid.append(conv2d(params["conv_final"], h))

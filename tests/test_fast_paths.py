@@ -47,6 +47,34 @@ def test_s2d_refiner_bf16_close(params):
     assert rel.mean() < 0.02
 
 
+@pytest.mark.parametrize("cin,size", [(3, (64, 96)), (32, (30, 40)),
+                                      (3, (50, 62))])
+def test_s2d_stride2_conv_exact(cin, size):
+    from multi_view_stereonet_tpu.models.layers import init_conv2d, conv2d
+    from multi_view_stereonet_tpu.models.s2d import conv2d_stride2_s2d
+
+    rng = np.random.default_rng(7)
+    H, W = size
+    p = init_conv2d(jax.random.PRNGKey(1), 5, 5, cin, 32, bias=(cin == 32))
+    x = jnp.asarray(rng.normal(size=(2, H, W, cin)).astype(np.float32))
+    ref = conv2d(p, x, stride=2)
+    out = conv2d_stride2_s2d(p, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-6, rtol=1e-5)
+
+
+def test_feature_network_s2d_exact(params):
+    from multi_view_stereonet_tpu.models.feature_network import feature_network
+
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.uniform(-1, 1, (1, 64, 96, 3)).astype(np.float32))
+    a = feature_network(params["feature_network"], x)
+    b = feature_network(params["feature_network"], x, use_s2d=True)
+    for la, lb in zip(a, b):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                   atol=2e-6, rtol=1e-5)
+
+
 def test_pallas_warp_interpret_matches_gather():
     """Kernel semantics vs the XLA gather, via the Pallas interpreter."""
     from multi_view_stereonet_tpu.ops.warp import homography_grid, grid_sample
