@@ -34,6 +34,23 @@ def cost_volume_filter(params, volume: jnp.ndarray) -> jnp.ndarray:
     return conv3d(params["conv4"], x)[..., 0]
 
 
+def cost_volume_filter_s2d(params, volume: jnp.ndarray) -> jnp.ndarray:
+    """HW-space-to-depth execution of the filter -- same outputs, 128-lane
+    convs (models/s2d.py; measured 0.21 -> 0.14 ms on v5e). Requires even
+    H, W; callers fall back to the plain path otherwise."""
+    from .s2d import (
+        space_to_depth, depth_to_space, conv3d_s2d, group_norm_s2d,
+    )
+
+    c = volume.shape[-1]
+    x = space_to_depth(volume)
+    for i in range(4):
+        x = leaky_relu(group_norm_s2d(
+            params[f"gn{i}"], conv3d_s2d(params[f"conv{i}"], x),
+            groups=c // 8))
+    return depth_to_space(conv3d_s2d(params["conv4"], x))[..., 0]
+
+
 def extract_idepthmap(cost_volume: jnp.ndarray, idepth_samples: jnp.ndarray,
                       beta: float = 1.0) -> jnp.ndarray:
     """Soft-argmin: sum_d softmin(beta * cost)_d * idepth_d.

@@ -39,7 +39,10 @@ from .refiners import (
     init_feature_refiner, feature_refiner,
     init_idepthmap_refiner, idepthmap_refiner,
 )
-from .cost_volume import init_cost_volume_filter, cost_volume_filter, extract_idepthmap
+from .cost_volume import (
+    init_cost_volume_filter, cost_volume_filter, cost_volume_filter_s2d,
+    extract_idepthmap,
+)
 from .s2d import idepthmap_refiner_s2d
 
 NUM_LEVELS = 5
@@ -57,10 +60,13 @@ class MultiViewStereoNetConfig:
     # for 32-channel convs -- see models/s2d.py). Auto-falls-back to the
     # plain path at levels with odd spatial dims.
     use_s2d_refiners: bool = True
-    # Compute the feature extractor's stride-2 convs in space-to-depth
-    # layout (exact; ~10x faster on TPU for the 3-channel first conv).
-    # Auto-falls-back per conv at odd spatial dims.
+    # Compute the feature extractor's 32-channel stride-2 convs in
+    # space-to-depth layout (exact; see models/s2d.py). Auto-falls-back
+    # per conv at odd spatial dims.
     use_s2d_frontend: bool = True
+    # Run the cost-volume filter with HW space-to-depth packed convs
+    # (exact; 128-lane Conv3d). Auto-falls-back at odd level-4 dims.
+    use_s2d_cost_filter: bool = True
     # Conv/feature compute dtype ("float32" or "bfloat16"). Geometry, warp
     # grids, soft-argmin and idepth residual adds always stay float32; in
     # bfloat16 mode only feature extraction, cost filtering and refiner
@@ -234,7 +240,10 @@ def _forward_impl(params, left_image_pyr, K_pyr, T_right_in_lefts,
     cost = jnp.where(right_mask_vol[..., None], jnp.zeros((), cost.dtype), cost)
 
     if config.do_cost_volume_filter:
-        cost_volume = cost_volume_filter(params["volume_filter4"], cost)
+        if config.use_s2d_cost_filter and h4 % 2 == 0 and w4 % 2 == 0:
+            cost_volume = cost_volume_filter_s2d(params["volume_filter4"], cost)
+        else:
+            cost_volume = cost_volume_filter(params["volume_filter4"], cost)
     else:
         cost_volume = jnp.sqrt(jnp.sum(jnp.square(
             cost.astype(jnp.float32)), axis=-1))

@@ -36,20 +36,24 @@ from .refiners import DILATIONS
 
 
 def space_to_depth(x: jnp.ndarray) -> jnp.ndarray:
-    """(B, H, W, C) -> (B, H/2, W/2, 4C), channel order (di, dj, c)."""
-    B, H, W, C = x.shape
-    x = x.reshape(B, H // 2, 2, W // 2, 2, C)
-    x = x.transpose(0, 1, 3, 2, 4, 5)  # (B, H/2, W/2, di, dj, C)
-    return x.reshape(B, H // 2, W // 2, 4 * C)
+    """(..., H, W, C) -> (..., H/2, W/2, 4C), channel order (di, dj, c).
+
+    Leading dims (batch, and e.g. the idepth axis for cost volumes) pass
+    through untouched.
+    """
+    *lead, H, W, C = x.shape
+    x = x.reshape(*lead, H // 2, 2, W // 2, 2, C)
+    x = jnp.moveaxis(x, -4, -3)  # (..., H/2, W/2, di, dj, C)
+    return x.reshape(*lead, H // 2, W // 2, 4 * C)
 
 
 def depth_to_space(x: jnp.ndarray) -> jnp.ndarray:
-    """(B, H/2, W/2, 4C) -> (B, H, W, C)."""
-    B, Hs, Ws, C4 = x.shape
+    """(..., H/2, W/2, 4C) -> (..., H, W, C)."""
+    *lead, Hs, Ws, C4 = x.shape
     C = C4 // 4
-    x = x.reshape(B, Hs, Ws, 2, 2, C)
-    x = x.transpose(0, 1, 3, 2, 4, 5)
-    return x.reshape(B, Hs * 2, Ws * 2, C)
+    x = x.reshape(*lead, Hs, Ws, 2, 2, C)
+    x = jnp.moveaxis(x, -3, -4)
+    return x.reshape(*lead, Hs * 2, Ws * 2, C)
 
 
 def s2d_kernel(w: jnp.ndarray, dilation: int) -> tuple:
@@ -139,9 +143,37 @@ def conv2d_s2d(params, x: jnp.ndarray, dilation: int = 1) -> jnp.ndarray:
     return out
 
 
+def conv3d_s2d(params, x: jnp.ndarray) -> jnp.ndarray:
+    """Same-padding 3x3x3 conv on an HW-space-to-depth volume.
+
+    params: plain conv3d params (w (3,3,3,Cin,Cout) DHWIO [+ b]);
+    x: (B, D, Hs, Ws, 4*Cin). Applies the S2D kernel transform to the HW
+    taps of each depth tap -- same exactness argument as ``conv2d_s2d``
+    (the D axis is untouched). Used by the cost-volume filter, where the
+    32-channel 3-D convs fill only a quarter of the MXU lanes
+    (measured 0.21 -> 0.14 ms for the 4-layer filter on v5e).
+    """
+    w = params["w"].astype(x.dtype)
+    w_s2d = jnp.stack([s2d_kernel(w[kd], 1)[0] for kd in range(w.shape[0])],
+                      axis=0)  # (3, 3, 3, 4Cin, 4Cout)
+    out = jax.lax.conv_general_dilated(
+        x, w_s2d,
+        window_strides=(1, 1, 1),
+        padding=((1, 1), (1, 1), (1, 1)),
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )
+    if "b" in params:
+        out = out + jnp.tile(params["b"], 4).astype(x.dtype)
+    return out
+
+
 def group_norm_s2d(params, x: jnp.ndarray, groups: int, eps: float = 1e-5
                    ) -> jnp.ndarray:
-    """GroupNorm over original channels for an S2D tensor (B,Hs,Ws,4C).
+    """GroupNorm over original channels for an S2D tensor (B,...,4C).
+
+    Rank-agnostic: all dims between batch and channels are spatial (e.g.
+    the idepth axis of an HW-packed cost volume pools like a spatial dim,
+    matching torch GroupNorm on NCDHW).
 
     Statistics use spatial-first reductions in the native lane layout:
     per-lane spatial moments (B, 4C), then pooled over (parity, in-group
@@ -156,20 +188,22 @@ def group_norm_s2d(params, x: jnp.ndarray, groups: int, eps: float = 1e-5
     B = x.shape[0]
     C = x.shape[-1] // 4
     gs = C // groups
+    spatial = tuple(range(1, x.ndim - 1))
+    bshape = (B,) + (1,) * len(spatial) + (4 * C,)
     xf = x.astype(jnp.float32)
 
-    def pool_lanes(v):  # (B, 4C) per-lane -> (B, 4C) per-group broadcast
+    def pool_lanes(v):  # (B, 4C) per-lane -> per-group broadcast
         g = jnp.mean(v.reshape(B, 4, groups, gs), axis=(1, 3))
-        return jnp.tile(jnp.repeat(g, gs, axis=1), (1, 4))
+        return jnp.tile(jnp.repeat(g, gs, axis=1), (1, 4)).reshape(bshape)
 
     # E[x^2]-mu^2 lets both moments come out of ONE read of the big
     # tensor (vs a second centered pass); the cancellation error is
     # ~1e-7 relative for post-conv activations (mu/sigma = O(1)) --
     # inside the 2e-6 pin against the plain path.
-    m1 = jnp.mean(xf, axis=(1, 2))
-    m2 = jnp.mean(jnp.square(xf), axis=(1, 2))
-    mean = pool_lanes(m1)[:, None, None, :]
-    var = pool_lanes(m2)[:, None, None, :] - jnp.square(mean)
+    m1 = jnp.mean(xf, axis=spatial)
+    m2 = jnp.mean(jnp.square(xf), axis=spatial)
+    mean = pool_lanes(m1)
+    var = pool_lanes(m2) - jnp.square(mean)
     out = (xf - mean) * jax.lax.rsqrt(var + eps)
     out = out * jnp.tile(params["scale"], 4) + jnp.tile(params["bias"], 4)
     return out.astype(orig_dtype)

@@ -63,6 +63,19 @@ def test_s2d_stride2_conv_exact(cin, size):
                                atol=2e-6, rtol=1e-5)
 
 
+def test_cost_volume_filter_s2d_exact(params):
+    from multi_view_stereonet_tpu.models.cost_volume import (
+        cost_volume_filter, cost_volume_filter_s2d,
+    )
+
+    rng = np.random.default_rng(9)
+    vol = jnp.asarray(np.abs(rng.normal(size=(2, 6, 16, 24, 32))).astype(np.float32))
+    a = cost_volume_filter(params["volume_filter4"], vol)
+    b = cost_volume_filter_s2d(params["volume_filter4"], vol)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=2e-6, rtol=1e-5)
+
+
 def test_feature_network_s2d_exact(params):
     from multi_view_stereonet_tpu.models.feature_network import feature_network
 
