@@ -88,6 +88,7 @@ def main():
     fps_b1 = measure(1, 400)
     fps_b8 = measure(8, 60)
     forward = make_forward(MultiViewStereoNetConfig(compute_dtype="bfloat16"))
+    fps_b1_bf16 = measure(1, 400)
     fps_b8_bf16 = measure(8, 60)
 
     result = {
@@ -96,6 +97,7 @@ def main():
         "unit": "depthmaps/sec",
         "vs_baseline": round(fps_b1 / REFERENCE_FPS_ESTIMATE, 1),
         "batch8_throughput": round(fps_b8, 1),
+        "bf16_batch1": round(fps_b1_bf16, 1),
         "batch8_bf16_throughput": round(fps_b8_bf16, 1),
         "ms_per_frame_b1": round(1000.0 / fps_b1, 2),
         "device": str(jax.devices()[0]),

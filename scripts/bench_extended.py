@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""Extended benchmarks beyond bench.py's headline: training step,
+multi-view (V=5), and strict-parity (matmul_precision=highest) timings.
+
+Device-side loop timing like bench.py (amortizes the ~25 ms relay
+dispatch overhead). Prints one line per config.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from multi_view_stereonet_tpu.models import (
+        MultiViewStereoNetConfig, mvsnet_forward, init_mvsnet,
+    )
+    from multi_view_stereonet_tpu.losses import LossConfig
+    from multi_view_stereonet_tpu.train.pipeline import multi_view_unpack_batch
+    from multi_view_stereonet_tpu.train.step import (
+        OptimizerConfig, make_optimizer, make_train_step,
+    )
+    from __graft_entry__ import _example_batch
+
+    params = init_mvsnet(jax.random.PRNGKey(0))
+
+    def timed(label, loop_fn, n_units, iters):
+        out = loop_fn()  # compile + warm
+        jax.block_until_ready(out)
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            jax.block_until_ready(loop_fn())
+            times.append(time.perf_counter() - t0)
+        ms = min(times) / iters * 1000.0
+        print(f"{label:54s} {ms:8.2f} ms ({n_units / (ms / 1000.0):.1f}/s)",
+              flush=True)
+
+    # ---- forward configs ----
+    def forward_loop(B, V, config, iters):
+        batch = {k: jnp.asarray(v) for k, v in _example_batch(B, V, 480, 640).items()}
+
+        @jax.jit
+        def loop():
+            def body(i, acc):
+                b = dict(batch)
+                b["left_image"] = batch["left_image"] + i.astype(jnp.float32) * 1e-12
+                inputs = multi_view_unpack_batch(b)
+                out = mvsnet_forward(
+                    params, inputs["left_image_pyr"], inputs["K_pyr"],
+                    inputs["T_right_in_left"], inputs["right_image_pyr"], config)
+                return acc + jnp.sum(out["left_idepthmap_pyr"][0])
+            return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
+        return loop
+
+    timed("V=5 multi-view forward, batch 1, f32",
+          forward_loop(1, 5, MultiViewStereoNetConfig(), 100), 1, 100)
+    timed("strict parity (matmul_precision=highest), batch 1",
+          forward_loop(1, 1, MultiViewStereoNetConfig(
+              matmul_precision="highest"), 100), 1, 100)
+
+    # ---- training step (full recipe: B=8, supervised) ----
+    tx = make_optimizer(OptimizerConfig())
+    opt_state = tx.init(params)
+    step = make_train_step(MultiViewStereoNetConfig(), LossConfig(), tx)
+    batch = {k: jnp.asarray(v) for k, v in _example_batch(8, 1, 480, 640).items()}
+
+    @jax.jit
+    def train_loop(params, opt_state, batch):
+        def body(i, carry):
+            p, s, acc = carry
+            b = dict(batch)
+            b["left_image"] = batch["left_image"] + i.astype(jnp.float32) * 1e-12
+            p, s, loss, _ = step(p, s, b)
+            return (p, s, acc + loss)
+        return jax.lax.fori_loop(0, 30, body, (params, opt_state, jnp.float32(0.0)))
+
+    timed("train step (B=8, 150-epoch recipe)",
+          lambda: train_loop(params, opt_state, batch)[2], 8, 30)
+
+
+if __name__ == "__main__":
+    main()
