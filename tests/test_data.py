@@ -102,6 +102,15 @@ def test_batch_loader_shapes_and_determinism(gta_tree):
     b2 = [b["left_filenames"] for b in loader2]
     assert b1 == b2  # same seed + epoch -> same order, threaded or not
 
+    # Parallel decode preserves order, contents, and partial batches.
+    serial = list(BatchLoader(ds, batch_size=2, prefetch=0, drop_last=False))
+    parallel = list(BatchLoader(ds, batch_size=2, prefetch=0, drop_last=False,
+                                workers=4))
+    assert len(serial) == len(parallel)
+    for a, b in zip(serial, parallel):
+        assert a["left_filenames"] == b["left_filenames"]
+        np.testing.assert_array_equal(a["left_image"], b["left_image"])
+
     batch = next(iter(BatchLoader(ds, batch_size=2)))
     assert batch["left_image"].shape == (2, 64, 96, 3)
     assert batch["right_images"].shape == (2, 1, 64, 96, 3)
