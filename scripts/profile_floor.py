@@ -71,8 +71,15 @@ def main():
     print(f"  -> {gflop / ms:8.1f} TF/s")
 
     from multi_view_stereonet_tpu.ops.warp import homography_warp_auto
+    from multi_view_stereonet_tpu.geometry import (
+        get_fronto_parallel_homography)
     img = jax.random.normal(key, (1, 480, 640, 3), jnp.float32)
-    H = jnp.eye(3, dtype=jnp.float32)[None] + 1e-3
+    # Realistic warp: unit-baseline pose + mid-range idepth, like the model's
+    # min-idepth full-res warp. (An arbitrary H with nonzero projective row
+    # makes tiles exceed the band and silently measures the XLA fallback.)
+    K = jnp.array([[[500.0, 0, 320], [0, 500, 240], [0, 0, 1]]], jnp.float32)
+    T = jnp.eye(4, dtype=jnp.float32)[None].at[:, 0, 3].set(-1.0)
+    H = get_fronto_parallel_homography(K, K, T, jnp.array([0.5], jnp.float32))
 
     for prec in ("default", "highest"):
         timeit(f"big warp 480x640x3 pallas ({prec})",

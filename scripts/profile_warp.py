@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""Break down the full-res homography warp's cost on TPU (dev tooling).
+
+Times each stage of ops.warp.homography_warp_auto at 480x640x3 with a
+device-side ``lax.fori_loop`` (host timing lies over the relay). Each
+iteration perturbs the homography with the loop index so no stage is
+loop-invariant.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from multi_view_stereonet_tpu.ops.warp import (
+        homography_grid, homography_warp_auto, _unnormalize_clamp)
+    from multi_view_stereonet_tpu.ops.pallas.warp_kernel import (
+        _band_bases, _pallas_resample)
+    from multi_view_stereonet_tpu.geometry import (
+        get_fronto_parallel_homography)
+
+    B, H, W, C = 1, 480, 640, 3
+    key = jax.random.PRNGKey(0)
+    image = jax.random.uniform(key, (B, H, W, C), jnp.float32)
+    # Realistic warp (see profile_floor.py): unit baseline, mid idepth.
+    K = jnp.array([[[500.0, 0, 320], [0, 500, 240], [0, 0, 1]]], jnp.float32)
+    T = jnp.eye(4, dtype=jnp.float32)[None].at[:, 0, 3].set(-1.0)
+    Hm = get_fronto_parallel_homography(K, K, T, jnp.array([0.5], jnp.float32))
+
+    iters = 100
+
+    def timeit(name, body_fn):
+        def loop():
+            def body(i, acc):
+                eps = i.astype(jnp.float32) * 1e-9
+                out = body_fn(Hm + eps)
+                return acc + jnp.sum(out) * 1e-12
+            return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
+
+        fn = jax.jit(loop)
+        jax.block_until_ready(fn())
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn())
+            times.append(time.perf_counter() - t0)
+        ms = min(times) / iters * 1000.0
+        print(f"{name:48s} {ms:8.3f} ms/iter", flush=True)
+        return ms
+
+    floor = timeit("noop (loop floor)", lambda Hm_: Hm_)
+
+    timeit("homography_grid 480x640", lambda Hm_: homography_grid(Hm_, H, W))
+
+    def bases_only(Hm_):
+        grid = homography_grid(Hm_, H, W)
+        ix = _unnormalize_clamp(grid[..., 0], W)
+        iy = _unnormalize_clamp(grid[..., 1], H)
+        yb, xb, fits = _band_bases(ix, iy, H, W)
+        return jnp.sum(yb) + jnp.sum(xb) + fits.astype(jnp.int32)
+
+    timeit("grid + band bases", bases_only)
+
+    def kernel_only(Hm_):
+        grid = homography_grid(Hm_, H, W)
+        ix = _unnormalize_clamp(grid[..., 0], W)
+        iy = _unnormalize_clamp(grid[..., 1], H)
+        yb, xb, _ = _band_bases(ix, iy, H, W)
+        return _pallas_resample(image, ix, iy, yb, xb, exact="default")
+
+    timeit("grid + bases + kernel(default)", kernel_only)
+
+    def kernel_hi(Hm_):
+        grid = homography_grid(Hm_, H, W)
+        ix = _unnormalize_clamp(grid[..., 0], W)
+        iy = _unnormalize_clamp(grid[..., 1], H)
+        yb, xb, _ = _band_bases(ix, iy, H, W)
+        return _pallas_resample(image, ix, iy, yb, xb, exact="highest")
+
+    timeit("grid + bases + kernel(highest)", kernel_hi)
+
+    timeit("full homography_warp_auto (default)",
+           lambda Hm_: homography_warp_auto(image, Hm_, zero_invalid=True,
+                                            precision="default")[0])
+    timeit("full homography_warp_auto (highest)",
+           lambda Hm_: homography_warp_auto(image, Hm_, zero_invalid=True,
+                                            precision="highest")[0])
+
+
+if __name__ == "__main__":
+    main()
