@@ -62,8 +62,10 @@ class MultiViewStereoNetConfig:
     use_s2d_refiners: bool = True
     # Compute the feature extractor's 32-channel stride-2 convs in
     # space-to-depth layout (exact; see models/s2d.py). Auto-falls-back
-    # per conv at odd spatial dims.
-    use_s2d_frontend: bool = True
+    # per conv at odd spatial dims. Off by default: since the left+right
+    # extractions became one batched pass, XLA's direct stride-2 lowering
+    # measures faster than the repack (4.61 vs 4.70 ms full forward, v5e).
+    use_s2d_frontend: bool = False
     # Run the cost-volume filter with HW space-to-depth packed convs
     # (exact; 128-lane Conv3d). Auto-falls-back at odd level-4 dims.
     use_s2d_cost_filter: bool = True
@@ -94,11 +96,23 @@ def init_mvsnet(key):
     return params
 
 
+def min_idepth_warp(T_right_in_left, K0, right_image0, idepth_samples,
+                    warp_precision="highest"):
+    """Full-res right image warped by the min-idepth homography (:254-258)."""
+    H_min = create_plane_sweep_homographies(T_right_in_left, K0,
+                                            idepth_samples[:, :1])
+    warped0, _ = homography_warp_auto(right_image0, H_min[:, 0],
+                                      zero_invalid=True,
+                                      precision=warp_precision)
+    return warped0
+
+
 def incremental_right_features(params, T_right_in_left, K0, K4,
                                right_image0, right_image4, idepth_samples,
                                compute_dtype=jnp.float32,
                                warp_precision="highest",
-                               use_s2d_frontend=False):
+                               use_s2d_frontend=False,
+                               feats0=None):
     """Incrementally-warped right feature volume (the paper's core trick).
 
     T_right_in_left: (N, 4, 4) unit-baseline poses (N = batch*views);
@@ -122,13 +136,15 @@ def incremental_right_features(params, T_right_in_left, K0, K4,
     # (1) Warp the full-res right image with the min-idepth homography and
     # run the full feature extractor once (:254-261). This is the largest
     # warp in the network -- routed to the Pallas band kernel on TPU.
-    H_min = create_plane_sweep_homographies(T_right_in_left, K0, idepth_samples[:, :1])
-    warped0, _ = homography_warp_auto(right_image0, H_min[:, 0],
-                                      zero_invalid=True,
-                                      precision=warp_precision)
-    feats0 = feature_network(params["feature_network"],
-                             warped0.astype(compute_dtype),
-                             use_s2d=use_s2d_frontend)[-1]
+    # ``feats0`` short-circuits this stage when the caller already computed
+    # it (mvsnet_forward batches it with the left extraction -- same
+    # weights, one MXU pass over batch B + B*V).
+    if feats0 is None:
+        warped0 = min_idepth_warp(T_right_in_left, K0, right_image0,
+                                  idepth_samples, warp_precision)
+        feats0 = feature_network(params["feature_network"],
+                                 warped0.astype(compute_dtype),
+                                 use_s2d=use_s2d_frontend)[-1]
 
     # (2) Warp the level-4 right image into the whole plane-sweep volume
     # (guidance for the refiner + the validity mask volume, :270-275).
@@ -208,12 +224,6 @@ def _forward_impl(params, left_image_pyr, K_pyr, T_right_in_lefts,
     B, V = T_right_in_lefts.shape[0], T_right_in_lefts.shape[1]
     h4, w4 = left_image_pyr[4].shape[1], left_image_pyr[4].shape[2]
 
-    # Left features once (:552).
-    left_feature_pyr = feature_network(params["feature_network"],
-                                       left_image_pyr[0].astype(cdt),
-                                       use_s2d=config.use_s2d_frontend)
-    left_feats4 = left_feature_pyr[-1]  # (B, h4, w4, C)
-
     # ---- Level 4: per-view plane sweeps, folded into the batch axis ----
     T_bv = T_right_in_lefts.reshape(B * V, 4, 4)
     T_bv, baseline = normalize_baseline(T_bv)  # (B*V,), unit baselines
@@ -227,12 +237,30 @@ def _forward_impl(params, left_image_pyr, K_pyr, T_right_in_lefts,
     # The warp kernel's matmul precision follows the model knob: with
     # default (bf16) convs an f32-exact warp buys nothing, so the big warp
     # runs single-pass too (HIGHEST restores bit-level warp exactness).
+    warp_precision = ("highest" if config.matmul_precision == "highest"
+                      else "default")
+
+    # Left features (:552) and the min-idepth right features (:254-261)
+    # come from the SAME weight-shared extractor on same-shape inputs --
+    # run them as ONE batched call (B + B*V) instead of two sequential
+    # passes: per-sample results are unchanged, per-pass overheads and
+    # MXU underutilization are paid once.
+    warped0 = min_idepth_warp(T_bv, K0_bv, right0_bv, idepth_samples,
+                              warp_precision)
+    stacked = jnp.concatenate(
+        [left_image_pyr[0].astype(cdt), warped0.astype(cdt)], axis=0)
+    stacked_pyr = feature_network(params["feature_network"], stacked,
+                                  use_s2d=config.use_s2d_frontend)
+    left_feature_pyr = [lvl[:B] for lvl in stacked_pyr]
+    left_feats4 = left_feature_pyr[-1]  # (B, h4, w4, C)
+    right_feats0 = stacked_pyr[-1][B:]  # (B*V, h4, w4, C)
+
     right_feat_vol, right_mask_vol = incremental_right_features(
         params, T_bv, K0_bv, K4_bv, right0_bv, right4_bv, idepth_samples,
         compute_dtype=cdt,
-        warp_precision=("highest" if config.matmul_precision == "highest"
-                        else "default"),
-        use_s2d_frontend=config.use_s2d_frontend)
+        warp_precision=warp_precision,
+        use_s2d_frontend=config.use_s2d_frontend,
+        feats0=right_feats0)
 
     # Cost volume: |left - right|, invalid voxels zeroed (:587-592).
     left_vol = jnp.repeat(left_feats4, V, axis=0)[:, None]  # (B*V, 1, h4, w4, C)
