@@ -69,6 +69,10 @@ class MultiViewStereoNetConfig:
     # Run the cost-volume filter with HW space-to-depth packed convs
     # (exact; 128-lane Conv3d). Auto-falls-back at odd level-4 dims.
     use_s2d_cost_filter: bool = True
+    # Run the incremental warp+refine chain as one Pallas kernel
+    # (ops/pallas/incremental_chain.py). TPU-only, default matmul
+    # precision only; auto-falls-back to the lax.scan otherwise.
+    use_fused_incremental: bool = True
     # Conv/feature compute dtype ("float32" or "bfloat16"). Geometry, warp
     # grids, soft-argmin and idepth residual adds always stay float32; in
     # bfloat16 mode only feature extraction, cost filtering and refiner
@@ -107,12 +111,32 @@ def min_idepth_warp(T_right_in_left, K0, right_image0, idepth_samples,
     return warped0
 
 
+def _incremental_scan(refiner_params, feats0, image_rest, H_inc):
+    """The incremental chain as a lax.scan (reference order of ops).
+
+    feats0: (N, h4, w4, C); image_rest: (N, D-1, h4, w4, 3);
+    H_inc: (N, D-1, 3, 3). Returns (N, D-1, h4, w4, C).
+    """
+    def step(feats_prev, inputs):
+        H_i, image_i = inputs
+        warped, invalid = homography_warp(feats_prev, H_i)
+        warped = jnp.where(invalid[..., None], jnp.zeros((), warped.dtype), warped)
+        feats = feature_refiner(refiner_params,
+                                image_i.astype(warped.dtype), warped)
+        return feats, feats
+
+    xs = (jnp.moveaxis(H_inc, 0, 1), jnp.moveaxis(image_rest, 0, 1))
+    _, feats_rest = jax.lax.scan(step, feats0, xs)
+    return jnp.moveaxis(feats_rest, 0, 1)
+
+
 def incremental_right_features(params, T_right_in_left, K0, K4,
                                right_image0, right_image4, idepth_samples,
                                compute_dtype=jnp.float32,
                                warp_precision="highest",
                                use_s2d_frontend=False,
-                               feats0=None):
+                               feats0=None,
+                               use_fused_chain=True):
     """Incrementally-warped right feature volume (the paper's core trick).
 
     T_right_in_left: (N, 4, 4) unit-baseline poses (N = batch*views);
@@ -153,22 +177,31 @@ def incremental_right_features(params, T_right_in_left, K0, K4,
 
     # (3) Hypotheses 1..D-1: warp previous features by the incremental
     # homography, refine guided by that hypothesis' warped image (:279-290).
+    # On TPU at default precision the whole chain runs as ONE Pallas
+    # kernel (VMEM-resident carry; ops/pallas/incremental_chain.py) --
+    # the lax.scan spends ~90% of its time on per-kernel dispatch at
+    # these tiny (30x40x32) shapes. Strict-parity mode and other
+    # backends keep the scan.
     H_inc = incremental_homographies(H_fam)  # (N, D-1, 3, 3)
 
-    def step(feats_prev, inputs):
-        H_i, image_i = inputs
-        warped, invalid = homography_warp(feats_prev, H_i)
-        warped = jnp.where(invalid[..., None], jnp.zeros((), warped.dtype), warped)
-        feats = feature_refiner(params["feature_refiner"],
-                                image_i.astype(warped.dtype), warped)
-        return feats, feats
-
-    xs = (jnp.moveaxis(H_inc, 0, 1), jnp.moveaxis(image_volume[:, 1:], 0, 1))
-    _, feats_rest = jax.lax.scan(step, feats0, xs)
-
-    feature_volume = jnp.concatenate(
-        [feats0[None], feats_rest], axis=0)  # (D, N, h4, w4, C)
-    feature_volume = jnp.moveaxis(feature_volume, 0, 1)  # (N, D, h4, w4, C)
+    fused = use_fused_chain and warp_precision != "highest"
+    if fused and jax.default_backend() == "tpu":
+        from ..ops.pallas.incremental_chain import (
+            incremental_chain_supported, incremental_chain_fused)
+        h4, w4, C = feats0.shape[1], feats0.shape[2], feats0.shape[3]
+        if incremental_chain_supported(h4, w4, C, N=feats0.shape[0]):
+            feature_volume = incremental_chain_fused(
+                params["feature_refiner"], feats0, image_volume[:, 1:],
+                H_inc, compute_dtype)
+        else:
+            fused = False
+    else:
+        fused = False
+    if not fused:
+        feats_rest = _incremental_scan(params["feature_refiner"], feats0,
+                                       image_volume[:, 1:], H_inc)
+        feature_volume = jnp.concatenate(
+            [feats0[:, None], feats_rest], axis=1)  # (N, D, h4, w4, C)
 
     # (4) Zero invalid voxels using the *global* sweep mask (:293-298).
     feature_volume = jnp.where(mask_volume[..., None],
@@ -260,7 +293,8 @@ def _forward_impl(params, left_image_pyr, K_pyr, T_right_in_lefts,
         compute_dtype=cdt,
         warp_precision=warp_precision,
         use_s2d_frontend=config.use_s2d_frontend,
-        feats0=right_feats0)
+        feats0=right_feats0,
+        use_fused_chain=config.use_fused_incremental)
 
     # Cost volume: |left - right|, invalid voxels zeroed (:587-592).
     left_vol = jnp.repeat(left_feats4, V, axis=0)[:, None]  # (B*V, 1, h4, w4, C)
