@@ -18,16 +18,22 @@ import os
 import numpy as np
 from PIL import Image
 
+from .native_images import (
+    open_image as _open_image,
+    resolve_decode_backend as _resolve_decode_backend,
+)
 from .splits import read_scene_list
 from ..utils import depthmap_utils
 
 
 class DeMoNDataset:
     def __init__(self, data_dir, input_file, num_right_images=1,
-                 num_left_images=0, transform=None, shuffle=True, seed=0):
+                 num_left_images=0, transform=None, shuffle=True, seed=0,
+                 decode_backend="pil"):
         self.data_dir = data_dir
         self.num_right_images = num_right_images
         self.transform = transform
+        self.decode_backend = _resolve_decode_backend(decode_backend)
 
         scenes = read_scene_list(os.path.join(data_dir, input_file)
                                  if not os.path.isabs(input_file) and
@@ -106,8 +112,9 @@ class DeMoNDataset:
         sample = {
             "left_filename": raw["left_filename"],
             "right_filenames": list(raw["right_filenames"]),
-            "left_image": Image.open(raw["left_filename"]).convert("RGB"),
-            "right_images": [Image.open(f).convert("RGB")
+            "left_image": _open_image(raw["left_filename"],
+                                      self.decode_backend),
+            "right_images": [_open_image(f, self.decode_backend)
                              for f in raw["right_filenames"]],
             "K": raw["K"].copy(),
             "T_right_in_left": [T.copy() for T in raw["T_right_in_left"]],
@@ -126,10 +133,11 @@ class DeMoNStereoDataset:
     """Two-view wrapper (reference :163-197)."""
 
     def __init__(self, data_dir, input_file, num_left_images=0, transform=None,
-                 shuffle=True, seed=0):
+                 shuffle=True, seed=0, decode_backend="pil"):
         self.inner = DeMoNDataset(data_dir, input_file, num_right_images=1,
                                   num_left_images=num_left_images,
-                                  transform=transform, shuffle=shuffle, seed=seed)
+                                  transform=transform, shuffle=shuffle,
+                                  seed=seed, decode_backend=decode_backend)
 
     def __len__(self):
         return len(self.inner)

@@ -20,6 +20,10 @@ import os
 import numpy as np
 from PIL import Image
 
+from .native_images import (
+    open_image as _open_image,
+    resolve_decode_backend as _resolve_decode_backend,
+)
 from .splits import read_multi_view_split
 from ..utils import depthmap_utils
 
@@ -62,10 +66,12 @@ class GTASfMMultiViewDataset:
     """
 
     def __init__(self, data_dir, split_file, num_images=0, transform=None,
-                 load_groundtruth_depthmaps=False, shuffle=True, seed=0):
+                 load_groundtruth_depthmaps=False, shuffle=True, seed=0,
+                 decode_backend="pil"):
         self.data_dir = data_dir
         self.transform = transform
         self.load_gt = load_groundtruth_depthmaps
+        self.decode_backend = _resolve_decode_backend(decode_backend)
 
         lefts, rights = read_multi_view_split(split_file)
         if shuffle:
@@ -103,14 +109,13 @@ class GTASfMMultiViewDataset:
             T_rights.append(
                 (np.linalg.inv(left_pose) @ right_pose).astype(np.float32))
 
+        right_paths = [os.path.join(self.data_dir, r) for r in right_rels]
         sample = {
             "left_filename": left_path,
-            "right_filenames": [os.path.join(self.data_dir, r) for r in right_rels],
-            "left_image": Image.open(left_path).convert("RGB"),
-            "right_images": [
-                Image.open(os.path.join(self.data_dir, r)).convert("RGB")
-                for r in right_rels
-            ],
+            "right_filenames": right_paths,
+            "left_image": _open_image(left_path, self.decode_backend),
+            "right_images": [_open_image(p, self.decode_backend)
+                             for p in right_paths],
             "K": K,
             "T_right_in_left": T_rights,
         }

@@ -1,0 +1,115 @@
+"""Lazy image references backed by the native (C++) decode pipeline.
+
+Datasets built with ``decode_backend="native"`` put ``NativeImageRef``
+objects in the sample instead of PIL images; the standard transform
+pipeline then runs decode + Pillow-parity bilinear resize + [0,1]
+conversion inside native.image_loader (one thread-pooled call for all
+views of a sample), which measures ~1.4x faster than PIL per core and
+scales across cores. Pixel-exact: the native resample replicates
+Pillow's BILINEAR filter bit-for-bit (see native/image_loader.cc).
+
+Image-mutating augmentations (color jitter, roll180, flips) call
+``materialize_pil`` first, which transparently converts refs back to
+real PIL images (decode + resize through PIL), so every pipeline works
+with either backend.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from PIL import Image
+
+
+class NativeImageRef:
+    """A to-be-decoded image path with an optional pending resize."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self.target = None  # (rows, cols) set by ResizeWithIntrinsics
+        self._size = None
+
+    @property
+    def size(self):
+        """(width, height), PIL convention; header-only read."""
+        if self._size is None:
+            from .. import native
+
+            dims = native.jpeg_dims(self.path)
+            if dims is None:
+                dims = Image.open(self.path).size
+            self._size = dims
+        return self._size
+
+    def to_pil(self) -> Image.Image:
+        """Materialize through PIL (decode + any pending resize)."""
+        img = Image.open(self.path).convert("RGB")
+        if self.target is not None:
+            rows, cols = self.target
+            img = img.resize((cols, rows), Image.BILINEAR)
+        return img
+
+
+def sample_images(sample):
+    """The sample's image entries as one flat list [left, *rights]."""
+    return [sample["left_image"]] + list(sample["right_images"])
+
+
+def has_refs(sample) -> bool:
+    return isinstance(sample["left_image"], NativeImageRef)
+
+
+def materialize_pil(sample):
+    """Convert any NativeImageRefs in the sample back to PIL images."""
+    if not has_refs(sample):
+        return sample
+    sample["left_image"] = sample["left_image"].to_pil()
+    sample["right_images"] = [r.to_pil() for r in sample["right_images"]]
+    return sample
+
+
+def decode_refs(refs):
+    """Decode a list of refs -> float32 [0, 1] HWC arrays.
+
+    One native call per target size; failed decodes fall back to PIL
+    per image.
+    """
+    from .. import native
+
+    out = [None] * len(refs)
+    groups = {}
+    for i, r in enumerate(refs):
+        if r.target is not None:
+            rows, cols = r.target
+        else:
+            w, h = r.size
+            rows, cols = h, w
+        groups.setdefault((rows, cols), []).append(i)
+
+    for (rows, cols), idxs in groups.items():
+        arrs, ok = native.load_images([refs[i].path for i in idxs],
+                                      rows, cols)
+        for j, i in enumerate(idxs):
+            if ok[j]:
+                out[i] = arrs[j]
+            else:
+                out[i] = np.asarray(refs[i].to_pil(),
+                                    dtype=np.float32) / 255.0
+    return out
+
+
+def resolve_decode_backend(backend: str) -> str:
+    """'auto' -> 'native' when the C++ loader is usable, else 'pil'."""
+    if backend == "auto":
+        from .. import native
+
+        return "native" if native.available() else "pil"
+    if backend not in ("pil", "native"):
+        raise ValueError(f"unknown decode_backend {backend!r}")
+    return backend
+
+
+def open_image(path: str, backend: str = "pil"):
+    """PIL image or NativeImageRef, per backend."""
+    if backend == "native":
+        return NativeImageRef(path)
+    return Image.open(path).convert("RGB")

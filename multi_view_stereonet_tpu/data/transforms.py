@@ -45,13 +45,23 @@ class ResizeWithIntrinsics:
         self.cols = cols
 
     def __call__(self, sample):
+        from .native_images import NativeImageRef
+
         left = sample["left_image"]
         in_cols, in_rows = left.size
-        sample["left_image"] = left.resize((self.cols, self.rows), Image.BILINEAR)
-        sample["right_images"] = [
-            im.resize((self.cols, self.rows), Image.BILINEAR)
-            for im in sample["right_images"]
-        ]
+        if isinstance(left, NativeImageRef):
+            # Defer the pixel work to the native decode in ToArray; the
+            # intrinsics rescale below is all that happens here.
+            left.target = (self.rows, self.cols)
+            for r in sample["right_images"]:
+                r.target = (self.rows, self.cols)
+        else:
+            sample["left_image"] = left.resize((self.cols, self.rows),
+                                               Image.BILINEAR)
+            sample["right_images"] = [
+                im.resize((self.cols, self.rows), Image.BILINEAR)
+                for im in sample["right_images"]
+            ]
         K = np.array(sample["K"], copy=True)
         K[0, :] *= float(self.cols) / in_cols
         K[1, :] *= float(self.rows) / in_rows
@@ -95,6 +105,9 @@ class RandomColorJitter:
         return apply
 
     def __call__(self, sample):
+        from .native_images import materialize_pil
+
+        sample = materialize_pil(sample)
         fn = self._jitter_fn()
         sample["left_image"] = fn(sample["left_image"])
         sample["right_images"] = [fn(im) for im in sample["right_images"]]
@@ -102,9 +115,20 @@ class RandomColorJitter:
 
 
 class ToArray:
-    """PIL -> float32 [0, 1] numpy (torchvision to_tensor equivalent)."""
+    """PIL -> float32 [0, 1] numpy (torchvision to_tensor equivalent).
+
+    NativeImageRefs decode here: one thread-pooled C++ call covering
+    every view of the sample (decode + pending resize + conversion)."""
 
     def __call__(self, sample):
+        from .native_images import decode_refs, has_refs
+
+        if has_refs(sample):
+            arrs = decode_refs([sample["left_image"]]
+                               + list(sample["right_images"]))
+            sample["left_image"] = arrs[0]
+            sample["right_images"] = arrs[1:]
+            return sample
         sample["left_image"] = np.asarray(
             sample["left_image"], dtype=np.float32) / 255.0
         sample["right_images"] = [
@@ -127,6 +151,9 @@ class RollRight180:
     """Rotate right views 180 deg and adjust poses (:126-146)."""
 
     def __call__(self, sample):
+        from .native_images import materialize_pil
+
+        sample = materialize_pil(sample)
         T_roll = np.eye(4, dtype=np.float32)
         T_roll[0, 0] = -1.0
         T_roll[1, 1] = -1.0
@@ -168,6 +195,9 @@ class RandomHorizontalFlipStereo:
     def __call__(self, sample):
         if len(sample["right_images"]) != 1 or self.rng.uniform() >= self.prob:
             return sample
+        from .native_images import materialize_pil
+
+        sample = materialize_pil(sample)
         left, right = sample["left_image"], sample["right_images"][0]
         sample["left_image"] = self._flip(right)
         sample["right_images"] = [self._flip(left)]

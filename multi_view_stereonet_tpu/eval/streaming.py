@@ -115,6 +115,10 @@ def main():
     parser.add_argument("--workers", type=int, default=4,
                         help="parallel sample-decode threads")
     parser.add_argument("--params_yaml", default=None)
+    parser.add_argument("--decode_backend", default="auto",
+                        choices=["auto", "native", "pil"],
+                        help="image decode path; auto uses the native C++ "
+                             "loader when available (bit-exact with PIL)")
     args = parser.parse_args()
 
     params_file = args.params_yaml or os.path.join(
@@ -123,10 +127,12 @@ def main():
     transforms = get_testing_transforms(cfg)
     if "gta_sfm" in args.test_split:
         dataset = GTASfMMultiViewDataset(args.data_dir, args.test_split, 0,
-                                         transforms)
+                                         transforms,
+                                         decode_backend=args.decode_backend)
     else:
         dataset = DeMoNDataset(args.data_dir, args.test_split,
-                               num_right_images=1, transform=transforms)
+                               num_right_images=1, transform=transforms,
+                               decode_backend=args.decode_backend)
 
     model_config = MultiViewStereoNetConfig(
         num_idepth_samples=cfg["num_idepth_samples"],

@@ -40,16 +40,21 @@ DEMON_TYPES = ("mvs", "sun3d", "rgbd", "scenes11")
 
 def load_data(data_dir, test_file, params, batch_size=1,
               roll_right_image_180=False, add_translation_noise=False,
-              add_rotation_noise=False):
-    """Dataset dispatch by split-filename substring (test.py:283-305)."""
+              add_rotation_noise=False, decode_backend="auto"):
+    """Dataset dispatch by split-filename substring (test.py:283-305).
+
+    ``decode_backend`` "auto" decodes through the native C++ pipeline
+    when available (bit-exact with the PIL path; see native/)."""
     transforms = get_testing_transforms(
         params, roll_right_image_180, add_translation_noise, add_rotation_noise)
     if "gta_sfm" in test_file:
         dataset = GTASfMMultiViewDataset(
-            data_dir, test_file, 0, transforms, load_groundtruth_depthmaps=True)
+            data_dir, test_file, 0, transforms, load_groundtruth_depthmaps=True,
+            decode_backend=decode_backend)
     elif "demon" in test_file:
         dataset = DeMoNDataset(data_dir, test_file, num_right_images=1,
-                               num_left_images=0, transform=transforms)
+                               num_left_images=0, transform=transforms,
+                               decode_backend=decode_backend)
     else:
         raise ValueError(f"cannot infer dataset type from {test_file}")
     # Parallel decode only when the pipeline is deterministic: the pose /
@@ -108,7 +113,8 @@ def _flatten_loss_dict(loss_dict):
 def run_eval(weights_dir, data_dir, test_split, output_dir="output",
              batch_size=1, save_images=False, params_file=None,
              model_overrides=None, roll_right_image_180=False,
-             add_translation_noise=False, add_rotation_noise=False):
+             add_translation_noise=False, add_rotation_noise=False,
+             decode_backend="auto"):
     assert not os.path.exists(output_dir), f"{output_dir} already exists"
     os.makedirs(output_dir)
 
@@ -134,7 +140,7 @@ def run_eval(weights_dir, data_dir, test_split, output_dir="output",
     params = load_any_params(weights_dir)
     loader = load_data(data_dir, test_split, params_cfg, batch_size,
                        roll_right_image_180, add_translation_noise,
-                       add_rotation_noise)
+                       add_rotation_noise, decode_backend=decode_backend)
 
     min_depth, max_depth = depth_limits(test_split)
     total_loss, num_batches = 0.0, 0
@@ -241,6 +247,10 @@ def main():
     parser.add_argument("--roll_right_image_180", action="store_true")
     parser.add_argument("--add_translation_noise", action="store_true")
     parser.add_argument("--add_rotation_noise", action="store_true")
+    parser.add_argument("--decode_backend", default="auto",
+                        choices=["auto", "native", "pil"],
+                        help="image decode path; auto uses the native C++ "
+                             "loader when available (bit-exact with PIL)")
     args = parser.parse_args()
 
     loss, avg = run_eval(
@@ -249,7 +259,8 @@ def main():
         args.save_images, args.params_yaml,
         roll_right_image_180=args.roll_right_image_180,
         add_translation_noise=args.add_translation_noise,
-        add_rotation_noise=args.add_rotation_noise)
+        add_rotation_noise=args.add_rotation_noise,
+        decode_backend=args.decode_backend)
     print("avg loss:", loss)
     print("avg depth metrics:", avg)
 

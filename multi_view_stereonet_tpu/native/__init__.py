@@ -1,0 +1,117 @@
+"""Native (C++) runtime components, bound through ctypes.
+
+``image_loader.cc`` is compiled on demand with the system toolchain into
+``_image_loader.so`` next to this file (rebuilt when the source is
+newer). Everything degrades gracefully: ``available()`` is False when
+the toolchain or libjpeg is missing, or when MVSNET_TPU_NO_NATIVE is
+set, and callers fall back to the PIL path.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "image_loader.cc")
+_LIB = os.path.join(_DIR, "_image_loader.so")
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    base = ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", _LIB + ".tmp",
+            "-ljpeg", "-lpthread"]
+    # The library is always built on the machine that runs it, so
+    # -march=native is safe; retry portable if the flag is rejected.
+    for cmd in ([base[0], "-march=native"] + base[1:], base):
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+            break
+        except (OSError, subprocess.SubprocessError):
+            continue
+    else:
+        return False
+    os.replace(_LIB + ".tmp", _LIB)
+    return True
+
+
+def _load():
+    """Build (if stale) and dlopen the library; None when unavailable."""
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if os.environ.get("MVSNET_TPU_NO_NATIVE"):
+            return None
+        try:
+            stale = (not os.path.exists(_LIB)
+                     or os.path.getmtime(_LIB) < os.path.getmtime(_SRC))
+            if stale and not _build():
+                return None
+            lib = ctypes.CDLL(_LIB)
+        except OSError:
+            return None
+        lib.mvs_native_version.restype = ctypes.c_int
+        if lib.mvs_native_version() != 1:
+            return None
+        lib.mvs_jpeg_dims.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int)]
+        lib.mvs_jpeg_dims.restype = ctypes.c_int
+        lib.mvs_load_images.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_float, ctypes.c_float,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int),
+            ctypes.c_int]
+        lib.mvs_load_images.restype = None
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    """True when the native image loader can be used."""
+    return _load() is not None
+
+
+def jpeg_dims(path: str):
+    """(width, height) from the JPEG header, or None on failure."""
+    lib = _load()
+    if lib is None:
+        return None
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    if lib.mvs_jpeg_dims(path.encode(), ctypes.byref(w), ctypes.byref(h)):
+        return None
+    return w.value, h.value
+
+
+def load_images(paths, rows: int, cols: int, mean: float = 0.0,
+                std: float = 1.0, threads: int = 0):
+    """Decode + Pillow-parity bilinear resize + normalize, in C++.
+
+    Returns (images (n, rows, cols, 3) float32 with (x/255 - mean)/std,
+    ok (n,) bool). Failed decodes have ok False (callers fall back to
+    PIL for those). ``threads`` 0 picks min(n, cpu count).
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native image loader unavailable")
+    n = len(paths)
+    out = np.empty((n, rows, cols, 3), np.float32)
+    status = np.empty((n,), np.int32)
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    if threads <= 0:
+        threads = min(n, os.cpu_count() or 1)
+    lib.mvs_load_images(
+        arr, n, rows, cols, ctypes.c_float(mean), ctypes.c_float(std),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), threads)
+    return out, status == 0

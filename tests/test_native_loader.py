@@ -1,0 +1,126 @@
+"""Native (C++) image-loading pipeline: parity with PIL and fallbacks.
+
+The loader (native/image_loader.cc) must be bit-exact with the PIL
+pipeline -- same libjpeg-turbo decode, a faithful replication of
+Pillow's BILINEAR resample (fixed-point coefficients, u8 two-pass), and
+exact x/255 conversion -- so eval results are identical whichever
+backend a dataset uses. Tests skip when the toolchain is unavailable.
+"""
+
+import os
+import tempfile
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from multi_view_stereonet_tpu import native
+from multi_view_stereonet_tpu.data import GTASfMMultiViewDataset
+from multi_view_stereonet_tpu.data import transforms as T
+
+from synthetic_data import make_gta_sfm_tree
+
+needs_native = pytest.mark.skipif(not native.available(),
+                                  reason="native loader unavailable")
+
+
+def _save_jpegs(tmp, sizes, seed=0):
+    rng = np.random.default_rng(seed)
+    paths = []
+    for i, (w, h) in enumerate(sizes):
+        img = Image.fromarray(
+            rng.integers(0, 255, (h, w, 3), dtype=np.uint8), "RGB")
+        p = os.path.join(tmp, f"im{i}.jpg")
+        img.save(p, quality=92)
+        paths.append(p)
+    return paths
+
+
+@needs_native
+def test_decode_resize_matches_pil_bitexact(tmp_path):
+    """Decode + BILINEAR resize + [0,1]: identical to the PIL pipeline
+    for exact-size, downscale and upscale sources."""
+    paths = _save_jpegs(str(tmp_path), [(640, 480), (1280, 720), (333, 217)])
+    out, ok = native.load_images(paths, 480, 640)
+    assert ok.all()
+    for i, p in enumerate(paths):
+        pil = Image.open(p).convert("RGB")
+        if pil.size != (640, 480):
+            pil = pil.resize((640, 480), Image.BILINEAR)
+        ref = np.asarray(pil, np.float32) / 255.0
+        np.testing.assert_array_equal(out[i], ref)
+
+
+@needs_native
+def test_jpeg_dims_and_failure_status(tmp_path):
+    paths = _save_jpegs(str(tmp_path), [(64, 48)])
+    assert native.jpeg_dims(paths[0]) == (64, 48)
+    assert native.jpeg_dims(str(tmp_path / "missing.jpg")) is None
+
+    bad = str(tmp_path / "corrupt.jpg")
+    with open(bad, "wb") as f:
+        f.write(b"not a jpeg")
+    out, ok = native.load_images([paths[0], bad], 48, 64)
+    assert ok.tolist() == [True, False]
+
+
+@needs_native
+def test_dataset_native_backend_bitexact():
+    """Full dataset + standard test transform pipeline: native == pil."""
+    with tempfile.TemporaryDirectory() as tmp:
+        data_dir, split = make_gta_sfm_tree(tmp)
+
+        def make(backend):
+            tr = T.Compose([T.ResizeWithIntrinsics(64, 96), T.ToArray(),
+                            T.Normalize()])
+            return GTASfMMultiViewDataset(
+                data_dir, split, transform=tr,
+                load_groundtruth_depthmaps=True, shuffle=False,
+                decode_backend=backend)
+
+        a = make("pil")[0]
+        b = make("native")[0]
+        np.testing.assert_array_equal(np.asarray(a["left_image"]),
+                                      np.asarray(b["left_image"]))
+        for ra, rb in zip(a["right_images"], b["right_images"]):
+            np.testing.assert_array_equal(ra, rb)
+        np.testing.assert_array_equal(a["K"], b["K"])
+
+
+@needs_native
+def test_augmented_pipeline_materializes_refs():
+    """Image-mutating transforms fall back to PIL transparently and
+    produce identical results under either backend."""
+    with tempfile.TemporaryDirectory() as tmp:
+        data_dir, split = make_gta_sfm_tree(tmp)
+
+        def make(backend, seed):
+            tr = T.Compose([
+                T.ResizeWithIntrinsics(64, 96),
+                T.RandomColorJitter(rng=np.random.default_rng(seed)),
+                T.RollRight180(),
+                T.ToArray(), T.Normalize(),
+            ])
+            return GTASfMMultiViewDataset(data_dir, split, transform=tr,
+                                          shuffle=False,
+                                          decode_backend=backend)
+
+        a = make("pil", 7)[0]
+        b = make("native", 7)[0]
+        np.testing.assert_array_equal(np.asarray(a["left_image"]),
+                                      np.asarray(b["left_image"]))
+        for ra, rb in zip(a["right_images"], b["right_images"]):
+            np.testing.assert_array_equal(np.asarray(ra), np.asarray(rb))
+
+
+def test_pil_backend_unchanged_without_native():
+    """decode_backend='pil' never touches the native path."""
+    with tempfile.TemporaryDirectory() as tmp:
+        data_dir, split = make_gta_sfm_tree(tmp)
+        tr = T.Compose([T.ResizeWithIntrinsics(64, 96), T.ToArray(),
+                        T.Normalize()])
+        ds = GTASfMMultiViewDataset(data_dir, split, transform=tr,
+                                    shuffle=False, decode_backend="pil")
+        s = ds[0]
+        assert isinstance(s["left_image"], np.ndarray)
+        assert s["left_image"].shape == (64, 96, 3)
