@@ -114,7 +114,7 @@ def run_eval(weights_dir, data_dir, test_split, output_dir="output",
              batch_size=1, save_images=False, params_file=None,
              model_overrides=None, roll_right_image_180=False,
              add_translation_noise=False, add_rotation_noise=False,
-             decode_backend="auto"):
+             decode_backend="auto", profile_dir=None):
     assert not os.path.exists(output_dir), f"{output_dir} already exists"
     os.makedirs(output_dir)
 
@@ -149,6 +149,12 @@ def run_eval(weights_dir, data_dir, test_split, output_dir="output",
     depth_file = os.path.join(output_dir, "depth_metrics.txt")
     runtime_file = os.path.join(output_dir, "runtime_metrics.txt")
 
+    # Device-timeline trace of the whole eval run when requested (size
+    # the run with a small split); no-op on backends without profiling.
+    import contextlib
+    from ..utils.timing import profile_trace
+    _prof = contextlib.ExitStack()
+    _prof.enter_context(profile_trace(profile_dir))
     for batch in loader:
         names = batch.pop("left_filenames")
         batch.pop("right_filenames")
@@ -203,6 +209,7 @@ def run_eval(weights_dir, data_dir, test_split, output_dir="output",
             print(f"image: {left_file}, LOSS: {loss:.2f}, "
                   f"ABS_REL: {m['abs_rel']:.2f}, A1: {m['a1']:.2f}")
         print(f"Processed batch {num_batches}/{len(loader)}")
+    _prof.close()
 
     _write_kv(os.path.join(output_dir, "avg_losses.txt"),
               compute_avg_metrics(loss_file))
@@ -251,6 +258,8 @@ def main():
                         choices=["auto", "native", "pil"],
                         help="image decode path; auto uses the native C++ "
                              "loader when available (bit-exact with PIL)")
+    parser.add_argument("--profile_dir", default=None,
+                        help="write a jax.profiler device trace here")
     args = parser.parse_args()
 
     loss, avg = run_eval(
@@ -260,7 +269,7 @@ def main():
         roll_right_image_180=args.roll_right_image_180,
         add_translation_noise=args.add_translation_noise,
         add_rotation_noise=args.add_rotation_noise,
-        decode_backend=args.decode_backend)
+        decode_backend=args.decode_backend, profile_dir=args.profile_dir)
     print("avg loss:", loss)
     print("avg depth metrics:", avg)
 

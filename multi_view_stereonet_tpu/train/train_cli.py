@@ -122,7 +122,8 @@ def validate(params, val_loader, model_config, loss_config):
 
 
 def train(params_cfg, data_dir, train_split, val_split, output_dir,
-          max_steps=0, max_epochs=None):
+          max_steps=0, max_epochs=None, profile_dir=None,
+          profile_steps=4):
     os.makedirs(output_dir, exist_ok=True)
     key = set_seeds(params_cfg["seed"])
     rng = np.random.default_rng(params_cfg["seed"])
@@ -176,6 +177,14 @@ def train(params_cfg, data_dir, train_split, val_split, output_dir,
     step_count = 0
     num_epochs = max_epochs if max_epochs is not None else params_cfg["num_epochs"]
 
+    # Device-timeline trace of the first ``profile_steps`` steps
+    # (compile + steady state) when requested.
+    import contextlib
+    from ..utils.timing import profile_trace
+    _prof = contextlib.ExitStack()
+    if profile_dir:
+        _prof.enter_context(profile_trace(profile_dir))
+
     for epoch in range(start_epoch, num_epochs):
         t_epoch = time.time()
         for batch_idx, batch in enumerate(loader):
@@ -198,6 +207,10 @@ def train(params_cfg, data_dir, train_split, val_split, output_dir,
                     params, opt_state, jbatch)
 
             step_count += 1
+            if profile_dir and step_count >= profile_steps:
+                jax.block_until_ready(loss)
+                _prof.close()
+                profile_dir = None
             if step_count % params_cfg["print_freq"] == 0:
                 lossf = float(loss)
                 print(f"epoch {epoch} batch {batch_idx} step {step_count} "
@@ -246,11 +259,15 @@ def main():
     parser.add_argument("--output_dir", required=True)
     parser.add_argument("--max_steps", type=int, default=0)
     parser.add_argument("--max_epochs", type=int, default=None)
+    parser.add_argument("--profile_dir", default=None,
+                        help="write a jax.profiler trace of the first "
+                             "steps here")
     args = parser.parse_args()
 
     params_cfg = load_params_yaml(args.config)
     train(params_cfg, args.data_dir, args.train_split, args.val_split,
-          args.output_dir, args.max_steps, args.max_epochs)
+          args.output_dir, args.max_steps, args.max_epochs,
+          profile_dir=args.profile_dir)
 
 
 if __name__ == "__main__":

@@ -8,6 +8,7 @@ a computation with ``block_until_ready`` (the analog of CUDA events);
 
 from __future__ import annotations
 
+import contextlib as _contextlib
 import random
 import time
 
@@ -49,3 +50,36 @@ def count_parameters(params) -> int:
     import jax
 
     return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+
+
+@_contextlib.contextmanager
+def profile_trace(log_dir=None):
+    """``jax.profiler`` trace around a block; a no-op when ``log_dir``
+    is falsy or the backend cannot profile (e.g. remote relays).
+
+    The reference's only tracing was CUDA-event wall clocks
+    (utils/pytorch_utils.py:31-48); this is the TPU-native equivalent:
+    the written trace opens in TensorBoard / Perfetto with per-op device
+    timelines.
+    """
+    if not log_dir:
+        yield
+        return
+    import jax
+
+    started = False
+    try:
+        jax.profiler.start_trace(log_dir)
+        started = True
+    except Exception as e:  # relay/backend without profiling support
+        import warnings
+
+        warnings.warn(f"jax.profiler unavailable ({e}); tracing disabled")
+    try:
+        yield
+    finally:
+        if started:
+            try:
+                jax.profiler.stop_trace()
+            except Exception:
+                pass

@@ -38,9 +38,14 @@ def test_eval_cli_multi_view_v2(tmp_path, monkeypatch):
     weights_dir = _stage_weights(os.path.join(root, "run"), PRETRAINED_GTA,
                                  (240, 320))
     monkeypatch.chdir(root)
+    profile_dir = os.path.join(root, "trace")
     _, avg = run_eval(weights_dir, data_dir, split,
-                      output_dir=os.path.join(root, "out"), batch_size=2)
+                      output_dir=os.path.join(root, "out"), batch_size=2,
+                      profile_dir=profile_dir)
     assert avg["abs_rel"] < 0.10, avg
+    # jax.profiler trace artifacts landed (SURVEY section 5 tracing).
+    trace_files = [f for _, _, fs in os.walk(profile_dir) for f in fs]
+    assert trace_files, "profiler trace not written"
 
 
 @pytest.mark.skipif(not reference_available(), reason="needs pretrained weights")
