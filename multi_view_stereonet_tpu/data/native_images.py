@@ -98,12 +98,24 @@ def decode_refs(refs):
 
 
 def resolve_decode_backend(backend: str) -> str:
-    """'auto' -> 'native' when the C++ loader is usable, else 'pil'."""
+    """'auto' -> 'native' when the C++ loader is usable, else 'pil'.
+
+    An explicit 'native' fails fast here (at dataset construction)
+    rather than deep inside a loader thread on the first decode."""
     if backend == "auto":
         from .. import native
 
         return "native" if native.available() else "pil"
-    if backend not in ("pil", "native"):
+    if backend == "native":
+        from .. import native
+
+        if not native.available():
+            raise RuntimeError(
+                "decode_backend='native' requested but the native image "
+                "loader is unavailable (toolchain/libjpeg missing or the "
+                "Pillow parity probe failed); use 'auto' or 'pil'")
+        return backend
+    if backend != "pil":
         raise ValueError(f"unknown decode_backend {backend!r}")
     return backend
 

@@ -45,9 +45,15 @@ class ResizeWithIntrinsics:
         self.cols = cols
 
     def __call__(self, sample):
-        from .native_images import NativeImageRef
+        from .native_images import NativeImageRef, materialize_pil
 
         left = sample["left_image"]
+        if isinstance(left, NativeImageRef) and left.target is not None:
+            # A second resize in one pipeline: the PIL path resamples
+            # twice from the intermediate size -- materialize so pixels
+            # and the K rescale below match it exactly.
+            sample = materialize_pil(sample)
+            left = sample["left_image"]
         in_cols, in_rows = left.size
         if isinstance(left, NativeImageRef):
             # Defer the pixel work to the native decode in ToArray; the

@@ -153,63 +153,62 @@ def run_eval(weights_dir, data_dir, test_split, output_dir="output",
     # the run with a small split); no-op on backends without profiling.
     import contextlib
     from ..utils.timing import profile_trace
-    _prof = contextlib.ExitStack()
-    _prof.enter_context(profile_trace(profile_dir))
-    for batch in loader:
-        names = batch.pop("left_filenames")
-        batch.pop("right_filenames")
-        jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+    with contextlib.ExitStack() as _prof:
+        _prof.enter_context(profile_trace(profile_dir))
+        for batch in loader:
+            names = batch.pop("left_filenames")
+            batch.pop("right_filenames")
+            jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
 
-        t0 = time.perf_counter()
-        out = _eval_step(params, jbatch, model_config, loss_config)
-        # One bulk device->host transfer (per-scalar fetches are round
-        # trips -- pathologically slow over remoted TPU runtimes).
-        loss, loss_dict, idepth0, baseline = jax.device_get(out)
-        runtime_ms = (time.perf_counter() - t0) * 1000.0 / len(names)
+            t0 = time.perf_counter()
+            out = _eval_step(params, jbatch, model_config, loss_config)
+            # One bulk device->host transfer (per-scalar fetches are round
+            # trips -- pathologically slow over remoted TPU runtimes).
+            loss, loss_dict, idepth0, baseline = jax.device_get(out)
+            runtime_ms = (time.perf_counter() - t0) * 1000.0 / len(names)
 
-        loss = float(loss)
-        assert np.isfinite(loss), "NaN loss during eval"
-        total_loss += loss
-        num_batches += 1
+            loss = float(loss)
+            assert np.isfinite(loss), "NaN loss during eval"
+            total_loss += loss
+            num_batches += 1
 
-        lkeys, lvals = _flatten_loss_dict(loss_dict)
+            lkeys, lvals = _flatten_loss_dict(loss_dict)
 
-        for i, left_file in enumerate(names):
-            # batch depth is the loader's raw metric depth (the reference
-            # re-multiplies by baseline only because its unpack normalized
-            # it first, test.py:166-186).
-            depth_true = batch["left_depthmap_true"][i]
-            idepth_est = idepth0[i]
-            depth_est = np.where(idepth_est > 0, 1.0 / np.where(
-                idepth_est > 0, idepth_est, 1.0), idepth_est)
+            for i, left_file in enumerate(names):
+                # batch depth is the loader's raw metric depth (the reference
+                # re-multiplies by baseline only because its unpack normalized
+                # it first, test.py:166-186).
+                depth_true = batch["left_depthmap_true"][i]
+                idepth_est = idepth0[i]
+                depth_est = np.where(idepth_est > 0, 1.0 / np.where(
+                    idepth_est > 0, idepth_est, 1.0), idepth_est)
 
-            mask = (depth_true > min_depth) & (depth_true < max_depth)
-            mask &= (depth_est > min_depth) & (depth_est < max_depth)
-            if mask.sum() <= 0:
-                print(f"WARNING: No truth for image: {left_file}")
-                continue
+                mask = (depth_true > min_depth) & (depth_true < max_depth)
+                mask &= (depth_est > min_depth) & (depth_est < max_depth)
+                if mask.sum() <= 0:
+                    print(f"WARNING: No truth for image: {left_file}")
+                    continue
 
-            if save_images:
-                from ..utils.visualization import save_idepth_images
+                if save_images:
+                    from ..utils.visualization import save_idepth_images
 
-                idepth_true = np.where(depth_true > 0, 1.0 / np.where(
-                    depth_true > 0, depth_true, 1.0), 0.0)
-                rel = os.path.relpath(left_file, data_dir)
-                img_dir = os.path.join(output_dir, os.path.dirname(rel))
-                os.makedirs(img_dir, exist_ok=True)
-                image_num = os.path.splitext(os.path.basename(rel))[0]
-                save_idepth_images(img_dir, image_num, idepth_est, idepth_true)
+                    idepth_true = np.where(depth_true > 0, 1.0 / np.where(
+                        depth_true > 0, depth_true, 1.0), 0.0)
+                    rel = os.path.relpath(left_file, data_dir)
+                    img_dir = os.path.join(output_dir, os.path.dirname(rel))
+                    os.makedirs(img_dir, exist_ok=True)
+                    image_num = os.path.splitext(os.path.basename(rel))[0]
+                    save_idepth_images(img_dir, image_num, idepth_est, idepth_true)
 
-            _append_row(loss_file, "file loss " + " ".join(lkeys),
-                        left_file, [loss] + lvals)
-            m = get_depth_prediction_metrics(depth_true[mask], depth_est[mask])
-            _append_row(depth_file, "file " + " ".join(m.keys()),
-                        left_file, list(m.values()))
-            _append_row(runtime_file, "file runtime_ms", left_file, [runtime_ms])
-            print(f"image: {left_file}, LOSS: {loss:.2f}, "
-                  f"ABS_REL: {m['abs_rel']:.2f}, A1: {m['a1']:.2f}")
-        print(f"Processed batch {num_batches}/{len(loader)}")
-    _prof.close()
+                _append_row(loss_file, "file loss " + " ".join(lkeys),
+                            left_file, [loss] + lvals)
+                m = get_depth_prediction_metrics(depth_true[mask], depth_est[mask])
+                _append_row(depth_file, "file " + " ".join(m.keys()),
+                            left_file, list(m.values()))
+                _append_row(runtime_file, "file runtime_ms", left_file, [runtime_ms])
+                print(f"image: {left_file}, LOSS: {loss:.2f}, "
+                      f"ABS_REL: {m['abs_rel']:.2f}, A1: {m['a1']:.2f}")
+            print(f"Processed batch {num_batches}/{len(loader)}")
 
     _write_kv(os.path.join(output_dir, "avg_losses.txt"),
               compute_avg_metrics(loss_file))

@@ -72,12 +72,60 @@ def _load():
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int),
             ctypes.c_int]
         lib.mvs_load_images.restype = None
+        if not _parity_check(lib):
+            return None
         _lib = lib
         return _lib
 
 
+def _parity_check(lib) -> bool:
+    """One-time decode+resize parity probe against Pillow.
+
+    'available' promises BIT-EXACT agreement with the PIL pipeline
+    (eval defaults to the native path) -- that holds only when the
+    system libjpeg produces the same pixels as Pillow's bundled
+    libjpeg-turbo. Probe with a real JPEG round trip instead of
+    trusting the link; mismatching hosts silently keep PIL.
+    """
+    import tempfile
+
+    import numpy as np
+    from PIL import Image
+
+    try:
+        rng = np.random.default_rng(0)
+        arr = rng.integers(0, 255, (40, 56, 3), dtype=np.uint8)
+        with tempfile.NamedTemporaryFile(suffix=".jpg", delete=False) as f:
+            path = f.name
+        Image.fromarray(arr, "RGB").save(path, quality=92)
+        try:
+            for rows, cols in ((40, 56), (24, 32)):
+                out = np.empty((1, rows, cols, 3), np.float32)
+                status = np.empty((1,), np.int32)
+                ap = (ctypes.c_char_p * 1)(path.encode())
+                lib.mvs_load_images(
+                    ap, 1, rows, cols, ctypes.c_float(0.0),
+                    ctypes.c_float(1.0),
+                    out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                    status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), 1)
+                if status[0] != 0:
+                    return False
+                pil = Image.open(path).convert("RGB")
+                if pil.size != (cols, rows):
+                    pil = pil.resize((cols, rows), Image.BILINEAR)
+                ref = np.asarray(pil, np.float32) / 255.0
+                if not np.array_equal(out[0], ref):
+                    return False
+        finally:
+            os.unlink(path)
+        return True
+    except Exception:
+        return False
+
+
 def available() -> bool:
-    """True when the native image loader can be used."""
+    """True when the native image loader can be used (library builds,
+    loads, and passes the Pillow bit-parity probe)."""
     return _load() is not None
 
 

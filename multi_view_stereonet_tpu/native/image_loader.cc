@@ -26,6 +26,7 @@
 #include <atomic>
 #include <cmath>
 #include <csetjmp>
+#include <new>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
@@ -68,7 +69,22 @@ bool DecodeJpeg(const char* path, std::vector<unsigned char>* out, int* w,
   jpeg_start_decompress(&cinfo);
   *w = cinfo.output_width;
   *h = cinfo.output_height;
-  out->resize(static_cast<size_t>(*w) * *h * 3);
+  // Bound the allocation: a corrupt SOF can claim absurd dims, and a
+  // bad_alloc would escape the thread and kill the process instead of
+  // taking the status->PIL-fallback path.
+  if (*w <= 0 || *h <= 0 ||
+      static_cast<long long>(*w) * *h > 64LL * 1024 * 1024) {
+    jpeg_destroy_decompress(&cinfo);
+    std::fclose(f);
+    return false;
+  }
+  try {
+    out->resize(static_cast<size_t>(*w) * *h * 3);
+  } catch (const std::bad_alloc&) {
+    jpeg_destroy_decompress(&cinfo);
+    std::fclose(f);
+    return false;
+  }
   while (cinfo.output_scanline < cinfo.output_height) {
     JSAMPROW row = out->data() + static_cast<size_t>(cinfo.output_scanline) * *w * 3;
     jpeg_read_scanlines(&cinfo, &row, 1);

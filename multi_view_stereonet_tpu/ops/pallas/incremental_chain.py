@@ -26,8 +26,8 @@ conv's zero-padding invariant.
 Per step:
   1. bilinear warp: ONE (pixels, pixels) matmul whose weight matrix is
      the product of two hat functions of the precomputed clamped source
-     coordinates -- the exact bilinear weights to <= 1 ulp, below the
-     bf16 MXU truncation DEFAULT-precision XLA convs apply anyway; the
+     coordinates (the exact bilinear weights to <= 1 ulp), contracted at
+     HIGHEST precision like the scan path's grid_sample_onehot; the
      padded grid's zero borders contribute zero weight by construction
      (coords are clamped to the valid interior);
   2. invalid samples zeroed via the precomputed validity plane;
@@ -89,8 +89,15 @@ def _chain_kernel(feats0_ref, image_ref, ix_ref, iy_ref, valid_ref,
         ix_c = ix_ref[0, 0, c0:c0 + chunk]
         W = (jax.nn.relu(1.0 - jnp.abs(h_of - iy_c))
              * jax.nn.relu(1.0 - jnp.abs(w_of - ix_c)))
+        # HIGHEST like the scan path's grid_sample_onehot: warp
+        # geometry stays f32-exact and interpolation error does not
+        # compound in bf16 down the 11-step chain (CLAUDE.md precision
+        # rule). Costs ~2.5% forward throughput vs a DEFAULT dot;
+        # Precision.HIGH would halve that but its bf16_3x expansion
+        # trips a jax closed_call lowering bug under pallas_call.
         parts.append(jax.lax.dot_general(
             W, f2, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32))
     warped = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
 
@@ -136,11 +143,18 @@ def _chain_kernel(feats0_ref, image_ref, ix_ref, iy_ref, valid_ref,
         m1 = jnp.sum(acc, axis=0, keepdims=True) / n_valid       # (1, C)
         m2 = jnp.sum(jnp.square(acc), axis=0, keepdims=True) / n_valid
         gp = gpool_ref[...]
+        # HIGHEST on the (1, C) pooling dots (negligible cost): bf16
+        # truncation of O(1) moments can push e2 - mu^2 negative past
+        # eps for low-variance groups -> NaN. Clamp as a backstop (the
+        # f32 cancellation itself can be ~-1e-7).
         mu = jax.lax.dot_general(m1, gp, (((1,), (0,)), ((), ())),
+                                 precision=jax.lax.Precision.HIGHEST,
                                  preferred_element_type=jnp.float32)
         e2 = jax.lax.dot_general(m2, gp, (((1,), (0,)), ((), ())),
+                                 precision=jax.lax.Precision.HIGHEST,
                                  preferred_element_type=jnp.float32)
-        rstd = jax.lax.rsqrt(e2 - jnp.square(mu) + 1e-5)
+        var = jnp.maximum(e2 - jnp.square(mu), 0.0)
+        rstd = jax.lax.rsqrt(var + 1e-5)
         out = (acc - mu) * rstd * g_ref[0:1] + g_ref[1:2]
         return (_leaky(out) * bmask_ref[...]).astype(dtype)
 
@@ -162,7 +176,6 @@ def _chain_kernel(feats0_ref, image_ref, ix_ref, iy_ref, valid_ref,
     out_ref[0, 0] = feats
 
 
-@functools.partial(jax.jit, static_argnames=("dims", "dtype_name"))
 def _run_chain(feats0p, imagep, ixp, iyp, validp, packed, gpool, bmask,
                dims, dtype_name):
     h4, w4, C = dims

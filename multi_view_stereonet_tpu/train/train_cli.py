@@ -185,68 +185,73 @@ def train(params_cfg, data_dir, train_split, val_split, output_dir,
     if profile_dir:
         _prof.enter_context(profile_trace(profile_dir))
 
-    for epoch in range(start_epoch, num_epochs):
-        t_epoch = time.time()
-        for batch_idx, batch in enumerate(loader):
-            names = batch.pop("left_filenames")
-            batch.pop("right_filenames")
-            if params_cfg.get("estimate_right_idepthmap", False):
-                # Adapt the V-axis batch to the two-view interface.
-                batch = dict(batch)
-                batch["right_image"] = batch.pop("right_images")[:, 0]
-                if "right_depthmap_true" in batch:
-                    batch["right_depthmap_true"] = batch["right_depthmap_true"][:, 0]
-                batch["T_right_in_left"] = batch["T_right_in_left"][:, 0]
-            if params_cfg["batch_size"] % n_data == 0 and n_data > 1:
-                jbatch = shard_batch(mesh, batch)
-            else:
-                jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+    try:
+        for epoch in range(start_epoch, num_epochs):
+            t_epoch = time.time()
+            for batch_idx, batch in enumerate(loader):
+                names = batch.pop("left_filenames")
+                batch.pop("right_filenames")
+                if params_cfg.get("estimate_right_idepthmap", False):
+                    # Adapt the V-axis batch to the two-view interface.
+                    batch = dict(batch)
+                    batch["right_image"] = batch.pop("right_images")[:, 0]
+                    if "right_depthmap_true" in batch:
+                        batch["right_depthmap_true"] = batch["right_depthmap_true"][:, 0]
+                    batch["T_right_in_left"] = batch["T_right_in_left"][:, 0]
+                if params_cfg["batch_size"] % n_data == 0 and n_data > 1:
+                    jbatch = shard_batch(mesh, batch)
+                else:
+                    jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
 
-            with mesh:
-                params, opt_state, loss, loss_dict = jit_step(
-                    params, opt_state, jbatch)
+                with mesh:
+                    params, opt_state, loss, loss_dict = jit_step(
+                        params, opt_state, jbatch)
 
-            step_count += 1
-            if profile_dir and step_count >= profile_steps:
-                jax.block_until_ready(loss)
-                _prof.close()
-                profile_dir = None
-            if step_count % params_cfg["print_freq"] == 0:
-                lossf = float(loss)
-                print(f"epoch {epoch} batch {batch_idx} step {step_count} "
-                      f"loss {lossf:.4f}")
-                log_losses(epoch, batch_idx, step_count, lossf,
-                           jax.device_get(loss_dict), loss_file)
-            if params_cfg["plot_freq"] and step_count % params_cfg["plot_freq"] == 0:
-                plot_losses(loss_file, os.path.join(output_dir, "plots"))
-            if (params_cfg["debug_image_freq"]
-                    and step_count % params_cfg["debug_image_freq"] == 0):
-                inputs = multi_view_unpack_batch(
-                    {k: jnp.asarray(v) for k, v in batch.items()})
-                outputs = jax.jit(
-                    lambda p, i: mvsnet_forward(
-                        p, i["left_image_pyr"], i["K_pyr"],
-                        i["T_right_in_left"], i["right_image_pyr"],
-                        model_config))(params, inputs)
-                inputs["left_filenames"] = names
-                log_debug_images(epoch, step_count, 0, inputs,
-                                 jax.device_get(outputs), debug_dir)
+                step_count += 1
+                if profile_dir and step_count >= profile_steps:
+                    jax.block_until_ready(loss)
+                    _prof.close()
+                    profile_dir = None
+                if step_count % params_cfg["print_freq"] == 0:
+                    lossf = float(loss)
+                    print(f"epoch {epoch} batch {batch_idx} step {step_count} "
+                          f"loss {lossf:.4f}")
+                    log_losses(epoch, batch_idx, step_count, lossf,
+                               jax.device_get(loss_dict), loss_file)
+                if params_cfg["plot_freq"] and step_count % params_cfg["plot_freq"] == 0:
+                    plot_losses(loss_file, os.path.join(output_dir, "plots"))
+                if (params_cfg["debug_image_freq"]
+                        and step_count % params_cfg["debug_image_freq"] == 0):
+                    inputs = multi_view_unpack_batch(
+                        {k: jnp.asarray(v) for k, v in batch.items()})
+                    outputs = jax.jit(
+                        lambda p, i: mvsnet_forward(
+                            p, i["left_image_pyr"], i["K_pyr"],
+                            i["T_right_in_left"], i["right_image_pyr"],
+                            model_config))(params, inputs)
+                    inputs["left_filenames"] = names
+                    log_debug_images(epoch, step_count, 0, inputs,
+                                     jax.device_get(outputs), debug_dir)
+                if max_steps and step_count >= max_steps:
+                    break
+
+            if val_loader is not None:
+                val_loss, metrics = validate(params, val_loader, model_config,
+                                             loss_config)
+                log_validation_metrics(epoch, val_loss, metrics, val_file)
+                print(f"epoch {epoch} validation loss {val_loss:.4f} {metrics}")
+
+            path = ckpt.save_train_state(ckpt_root, epoch, params, opt_state,
+                                         step_count)
+            print(f"epoch {epoch} done in {time.time() - t_epoch:.1f}s; "
+                  f"checkpoint: {path}")
             if max_steps and step_count >= max_steps:
                 break
 
-        if val_loader is not None:
-            val_loss, metrics = validate(params, val_loader, model_config,
-                                         loss_config)
-            log_validation_metrics(epoch, val_loss, metrics, val_file)
-            print(f"epoch {epoch} validation loss {val_loss:.4f} {metrics}")
-
-        path = ckpt.save_train_state(ckpt_root, epoch, params, opt_state,
-                                     step_count)
-        print(f"epoch {epoch} done in {time.time() - t_epoch:.1f}s; "
-              f"checkpoint: {path}")
-        if max_steps and step_count >= max_steps:
-            break
-
+    finally:
+        # Stop a still-open trace (run shorter than
+        # profile_steps, or an exception mid-epoch).
+        _prof.close()
     return params
 
 

@@ -77,8 +77,11 @@ def main():
     ms = timeit("  - D=2 (vs 12)", C(num_idepth_samples=2, **base))
     print(f"    -> 10 incremental steps ~ {full - ms:6.3f} ms")
     timeit("  - no s2d refiners", C(use_s2d_refiners=False, **base))
-    timeit("  - no s2d frontend", C(use_s2d_frontend=False, **base))
+    # s2d frontend defaults OFF -- ablate by turning it ON.
+    timeit("  + s2d frontend", C(use_s2d_frontend=True, **base))
     timeit("  - no s2d cost filter", C(use_s2d_cost_filter=False, **base))
+    timeit("  - no fused incremental chain",
+           C(use_fused_incremental=False, **base))
 
 
 if __name__ == "__main__":
