@@ -21,6 +21,7 @@ renormalization, fx idepth-scaling around each refiner, softmin beta=1).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Sequence
 
 import jax
@@ -82,6 +83,12 @@ class MultiViewStereoNetConfig:
     # deviation from the f32 reference on TPU) or "highest" (f32-exact
     # multi-pass, ~2x slower convs; matches the CPU golden tests).
     matmul_precision: str = "default"
+    # Rematerialize the idepthmap refiners under grad (jax.checkpoint):
+    # the full-res refiner activations dominate training memory (6
+    # resblocks x 39 MB at level 0 per batch element); remat trades a
+    # second refiner forward in the backward pass for that storage,
+    # enabling larger per-chip batches. Values are unchanged.
+    remat_refiners: bool = False
 
 
 def init_mvsnet(key):
@@ -211,15 +218,20 @@ def incremental_right_features(params, T_right_in_left, K0, K4,
 
 
 def _refine_level(params, name, guidance, idepth_prior, fx, use_s2d=False,
-                  compute_dtype=jnp.float32):
+                  compute_dtype=jnp.float32, remat=False):
     """fx idepth-scaling trick around a refiner (:605-613 etc.)."""
     scale = fx[:, None, None]
     H, W = guidance.shape[1], guidance.shape[2]
     refine = (idepthmap_refiner_s2d
               if use_s2d and H % 2 == 0 and W % 2 == 0
               else idepthmap_refiner)
-    scaled = refine(params[name], guidance, idepth_prior * scale,
-                    compute_dtype=compute_dtype)
+    refine = functools.partial(refine, compute_dtype=compute_dtype)
+    if remat:
+        # Recompute this refiner's activations in the backward pass
+        # instead of storing them (6 resblocks of (H, W)-scale
+        # activations each) -- identical values, large-batch headroom.
+        refine = jax.checkpoint(refine)
+    scaled = refine(params[name], guidance, idepth_prior * scale)
     return scaled / scale
 
 
@@ -321,7 +333,8 @@ def _forward_impl(params, left_image_pyr, K_pyr, T_right_in_lefts,
             [left_image_pyr[4].astype(cdt), left_feats4], axis=-1)
         guidance4_bv = jnp.repeat(guidance4, V, axis=0)
         idepth4 = _refine_level(params, "refiner4", guidance4_bv, idepth4_raw,
-                                K4_bv[:, 0, 0], config.use_s2d_refiners, cdt)
+                                K4_bv[:, 0, 0], config.use_s2d_refiners, cdt,
+                                remat=config.remat_refiners)
         idepth4_raw = idepth4_raw / b_hw
         idepth4 = idepth4 / b_hw
     else:
@@ -362,7 +375,8 @@ def _forward_impl(params, left_image_pyr, K_pyr, T_right_in_lefts,
                     axis=-1)
             idepth_lvl = _refine_level(params, f"refiner{lvl}", guidance, prior,
                                        K_pyr[lvl][:, 0, 0],
-                                       config.use_s2d_refiners, cdt)
+                                       config.use_s2d_refiners, cdt,
+                                       remat=config.remat_refiners)
         else:
             idepth_lvl = prior
 

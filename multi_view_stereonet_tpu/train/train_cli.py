@@ -66,6 +66,7 @@ def build_train_step(params_cfg, steps_per_epoch):
         do_refiners=tuple(params_cfg["refiners"]),
         compute_dtype=params_cfg.get("compute_dtype", "float32"),
         matmul_precision=params_cfg.get("matmul_precision", "default"),
+        remat_refiners=params_cfg.get("remat_refiners", False),
     )
     loss_config = LossConfig(
         supervision_factor=params_cfg["supervision_factor"],

@@ -90,3 +90,25 @@ def test_lr_schedule_decays():
     assert abs(float(sched(0)) - 1e-3) < 1e-9
     assert abs(float(sched(10)) - 5e-4) < 1e-9
     assert abs(float(sched(25)) - 2.5e-4) < 1e-9
+
+
+def test_remat_refiners_grads_identical():
+    """remat_refiners=True recomputes instead of storing refiner
+    activations -- loss and parameter gradients must be unchanged."""
+    batch = _two_view_batch(B=1, H=32, W=32, seed=3)
+    loss_config = LossConfig(supervision_factor=1.0)
+    params = init_mvsnet(jax.random.PRNGKey(0))
+
+    def grads(remat):
+        cfg = MultiViewStereoNetConfig(num_idepth_samples=4,
+                                       remat_refiners=remat)
+        loss_fn = make_loss_fn(cfg, loss_config, multi_view=False)
+        (loss, _), g = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch)
+        return float(loss), g
+
+    l0, g0 = grads(False)
+    l1, g1 = grads(True)
+    assert l0 == l1
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
