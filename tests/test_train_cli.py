@@ -1,0 +1,62 @@
+"""End-to-end training-loop drive: unpack -> forward -> loss -> optax
+step -> checkpoint write -> resume, on a tiny synthetic GTA-SfM tree
+(the verify skill's surface 4). Also covers the --profile_dir trace
+lifecycle for runs shorter than profile_steps."""
+
+import glob
+import os
+
+import numpy as np
+
+from multi_view_stereonet_tpu.train.config import load_params_yaml
+from multi_view_stereonet_tpu.train.train_cli import train
+
+from synthetic_data import make_gta_sfm_tree
+
+
+def _tiny_cfg():
+    cfg = load_params_yaml(None)
+    cfg.update({
+        "size": [32, 48],
+        "num_idepth_samples": 4,
+        "batch_size": 2,
+        "num_epochs": 1,
+        "augment": False,
+        "debug_image_freq": 0,
+        "plot_freq": 0,
+    })
+    return cfg
+
+
+def test_train_cli_end_to_end_with_resume_and_profile(tmp_path):
+    data_dir, split = make_gta_sfm_tree(str(tmp_path), rows=32, cols=48,
+                                        frames=6, num_sequences=1)
+    out = str(tmp_path / "run")
+    cfg = _tiny_cfg()
+    profile_dir = str(tmp_path / "trace")
+
+    # max_steps=2 < profile_steps default (4): the finally-close must
+    # still stop the trace and flush artifacts.
+    params = train(cfg, data_dir, split, "", out, max_steps=2,
+                   profile_dir=profile_dir)
+    assert params is not None
+    assert os.path.exists(os.path.join(out, "losses.txt"))
+    ckpts = sorted(glob.glob(os.path.join(out, "checkpoints", "epoch*")))
+    assert ckpts, "no checkpoint written"
+    trace_files = [f for _, _, fs in os.walk(profile_dir) for f in fs]
+    assert trace_files, "profiler trace not flushed on early stop"
+
+    # Resume from the written checkpoint (latest); extend to a second
+    # epoch so there is work to do, and take one more step.
+    loss_lines = open(os.path.join(out, "losses.txt")).read().count("\n")
+    cfg2 = dict(cfg, num_epochs=2)
+    params2 = train(cfg2, data_dir, split, "", out, max_steps=1)
+    assert params2 is not None
+    loss_lines2 = open(os.path.join(out, "losses.txt")).read().count("\n")
+    assert loss_lines2 > loss_lines
+
+    leaves1 = [np.asarray(x) for x in
+               __import__("jax").tree.leaves(params)]
+    leaves2 = [np.asarray(x) for x in
+               __import__("jax").tree.leaves(params2)]
+    assert any(not np.array_equal(a, b) for a, b in zip(leaves1, leaves2))
