@@ -79,9 +79,12 @@ class MultiViewStereoNetConfig:
     # bfloat16 mode only feature extraction, cost filtering and refiner
     # conv pipelines run at reduced precision.
     compute_dtype: str = "float32"
-    # Matmul/conv precision: "default" (bf16 MXU passes, ~0.5% mean output
-    # deviation from the f32 reference on TPU) or "highest" (f32-exact
-    # multi-pass, ~2x slower convs; matches the CPU golden tests).
+    # Matmul/conv precision ladder (measured at 480x640/12 hyps, v5e):
+    #   "default": bf16 MXU passes -- 185 dm/s, max ~0.6%-of-range output
+    #              deviation from the f32 reference;
+    #   "high":    bf16_3x passes -- 115 dm/s, max ~0.06% deviation;
+    #   "highest": f32-exact multi-pass -- 64 dm/s, matches the CPU
+    #              golden tests bit-for-bit.
     matmul_precision: str = "default"
     # Rematerialize the idepthmap refiners under grad (jax.checkpoint):
     # the full-res refiner activations dominate training memory (6
@@ -306,7 +309,12 @@ def _forward_impl(params, left_image_pyr, K_pyr, T_right_in_lefts,
         warp_precision=warp_precision,
         use_s2d_frontend=config.use_s2d_frontend,
         feats0=right_feats0,
-        use_fused_chain=config.use_fused_incremental)
+        # Fused chain only at DEFAULT ambient precision: its unpinned
+        # conv dots inherit the ambient matmul precision, and Mosaic
+        # rejects HIGH ("Unsupported dot precision"); "highest" keeps
+        # the scan for CPU golden parity anyway.
+        use_fused_chain=(config.use_fused_incremental
+                         and config.matmul_precision == "default"))
 
     # Cost volume: |left - right|, invalid voxels zeroed (:587-592).
     left_vol = jnp.repeat(left_feats4, V, axis=0)[:, None]  # (B*V, 1, h4, w4, C)
