@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from .transforms import mat3_inverse
+from .transforms import mat3_inverse, se3_inverse
 
 
 def get_fronto_parallel_homography(K_left: jnp.ndarray, K_right: jnp.ndarray,
@@ -48,8 +48,6 @@ def create_plane_sweep_homographies(T_right_in_left: jnp.ndarray, K: jnp.ndarray
     Reference: create_plane_sweep_homographies
     (multi_view_stereonet.py:167-194) -- without the batch-fold trick.
     """
-    from .transforms import se3_inverse
-
     K3 = K[..., :3, :3]
     T_left_in_right = se3_inverse(T_right_in_left)
 

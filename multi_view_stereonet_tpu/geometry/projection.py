@@ -102,7 +102,9 @@ def disparity_to_idepth(K: jnp.ndarray, T_right_in_left: jnp.ndarray,
     T_left_in_right = se3_inverse(T_right_in_left)
     R_lr = T_left_in_right[:, :3, :3]
 
-    KRKinv = jnp.matmul(K[:, :3, :3], jnp.matmul(R_lr, Kinv, precision="highest"))  # (B,3,3)
+    KRKinv = jnp.matmul(K[:, :3, :3],
+                        jnp.matmul(R_lr, Kinv, precision="highest"),
+                        precision="highest")  # (B,3,3)
     KRKinv3 = KRKinv[:, 2, :]  # (B, 3)
 
     KT = jnp.matmul(K[:, :4, :4], T_left_in_right, precision="highest")
@@ -156,7 +158,9 @@ def idepth_to_disparity(K: jnp.ndarray, T_right_in_left: jnp.ndarray,
     Kinv = mat3_inverse(K[:, :3, :3])
     T_left_in_right = se3_inverse(T_right_in_left)
     R_lr = T_left_in_right[:, :3, :3]
-    KRKinv = jnp.matmul(K[:, :3, :3], jnp.matmul(R_lr, Kinv, precision="highest"))
+    KRKinv = jnp.matmul(K[:, :3, :3],
+                        jnp.matmul(R_lr, Kinv, precision="highest"),
+                        precision="highest")
 
     pix_inf = jnp.einsum("bij,jn->bin", KRKinv, pix, precision="highest")
     pix_inf = pix_inf / pix_inf[:, 2:3, :]

@@ -59,4 +59,9 @@ def extract_idepthmap(cost_volume: jnp.ndarray, idepth_samples: jnp.ndarray,
     Returns (B, H, W).
     """
     probs = jax.nn.softmax(-beta * cost_volume, axis=1)
-    return jnp.einsum("bdhw,bd->bhw", probs, idepth_samples.astype(probs.dtype))
+    # HIGHEST: the call site guarantees f32 soft-argmin (idepth values
+    # are precision-sensitive); without the pin the D-axis contraction
+    # still truncates to bf16 on the TPU MXU at default precision.
+    return jnp.einsum("bdhw,bd->bhw", probs,
+                      idepth_samples.astype(probs.dtype),
+                      precision="highest")

@@ -159,9 +159,7 @@ def init_basic_block(key, cin: int, cout: int):
     Reference: utils/resnet.py:20-60 -- defined there but unused by the
     shipped model; carried for capability parity.
     """
-    import jax as _jax
-
-    k1, k2 = _jax.random.split(key)
+    k1, k2 = jax.random.split(key)
     return {
         "conv1": init_conv2d(k1, 3, 3, cin, cout, bias=False),
         "gn1": init_group_norm(cout),

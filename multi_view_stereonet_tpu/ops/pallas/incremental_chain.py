@@ -262,12 +262,16 @@ def incremental_chain_supported(h4: int, w4: int, C: int,
                                 N: int = 1) -> bool:
     """Static shape check for the fused chain kernel.
 
+    C is pinned to 32: the kernel's group-pooling matrix hardcodes the
+    FeatureRefiner's GroupNorm layout (gn0 uses 4 groups, the resblock
+    C//8 groups -- identical only at C == 32).
+
     The kernel serializes over N * (D-1) grid steps while the XLA scan
     batches each step's ops over N -- measured on v5e (30x40x32, D=12),
     the fused kernel wins up to N~6 (N=1: 0.20 vs 0.28 ms; N=4: 0.81 vs
     1.13; N=8: 1.74 vs 1.44), so larger batches keep the scan.
     """
-    return (h4 >= 2 and w4 >= 2 and C % 8 == 0
+    return (h4 >= 2 and w4 >= 2 and C == 32
             and (h4 + 2) * (w4 + 2) <= 8192 and N <= 6)
 
 

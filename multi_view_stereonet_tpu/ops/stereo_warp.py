@@ -34,8 +34,7 @@ def rectified_image_predictor(K, T_right_in_left, left_disparity, right_image):
     uv = jnp.stack([x, y], axis=-1)
     grid = normalize_pixel_coords(uv, rows, cols)
 
-    invalid = (jnp.abs(grid[..., 0]) > 1.0) | (jnp.abs(grid[..., 1]) > 1.0)
-    pred, _ = grid_sample(right_image, grid)
+    pred, invalid = grid_sample(right_image, grid)
     return pred, invalid
 
 

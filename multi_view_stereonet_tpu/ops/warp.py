@@ -187,7 +187,7 @@ def homography_warp_auto(image: jnp.ndarray, H: jnp.ndarray,
         from .pallas import homography_warp_pallas
         out, invalid = homography_warp_pallas(image, grid, exact=precision)
     else:
-        out, invalid = grid_sample(image, grid)
+        out, invalid = grid_sample_auto(image, grid)
     if zero_invalid:
         out = jnp.where(invalid[..., None], 0.0, out)
     return out, invalid
