@@ -117,11 +117,14 @@ class BatchLoader:
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
+        failure = []
 
         def worker():
             try:
                 for batch in self._batches():
                     q.put(batch)
+            except BaseException as e:  # re-raised in the consumer
+                failure.append(e)
             finally:
                 q.put(sentinel)
 
@@ -133,3 +136,8 @@ class BatchLoader:
                 break
             yield item
         t.join()
+        if failure:
+            # A swallowed loader error would end the epoch early and let
+            # eval publish averages over a silently truncated subset
+            # (torch DataLoader re-raises worker exceptions; so do we).
+            raise failure[0]

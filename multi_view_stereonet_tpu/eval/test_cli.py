@@ -98,16 +98,11 @@ def _append_row(path, header, name, values):
 
 
 def _flatten_loss_dict(loss_dict):
-    keys, values = [], []
-    for k, v in loss_dict.items():
-        if isinstance(v, (list, tuple)):
-            for i, vv in enumerate(v):
-                keys.append(f"{k}{i}")
-                values.append(float(vv))
-        else:
-            keys.append(k)
-            values.append(float(v))
-    return keys, values
+    # Same list-expanding flatten the training logger uses -- one
+    # implementation so the losses.txt formats cannot diverge.
+    from ..train.logging import _flatten
+
+    return _flatten(loss_dict)
 
 
 def run_eval(weights_dir, data_dir, test_split, output_dir="output",
@@ -160,6 +155,13 @@ def run_eval(weights_dir, data_dir, test_split, output_dir="output",
             batch.pop("right_filenames")
             jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
 
+            if num_batches == 0:
+                # Warm the jit cache before timing: the first dispatch
+                # otherwise charges minutes of (remote) compilation to
+                # runtime_metrics.txt, swamping the averages the
+                # reference's network-only timers are compared against.
+                jax.block_until_ready(
+                    _eval_step(params, jbatch, model_config, loss_config))
             t0 = time.perf_counter()
             out = _eval_step(params, jbatch, model_config, loss_config)
             # One bulk device->host transfer (per-scalar fetches are round

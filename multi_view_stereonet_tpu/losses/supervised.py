@@ -42,8 +42,15 @@ def supervised_idepthmap_loss(idepthmap: jnp.ndarray, truth: jnp.ndarray,
 
     if normalize:
         m = truth_mask.astype(truth.dtype)
+        count = jnp.sum(m, axis=(1, 2), keepdims=True)
+        # An all-invalid GT map would make this 0/0 = NaN and (NaN * 0)
+        # would poison the whole batch loss through the masked mean. The
+        # reference asserts on that input (losses.py:38); here such an
+        # image contributes 0 instead (same deliberate divergence as the
+        # LR-consistency empty-mask case, docs/PARITY.md).
         mean_idepths = (jnp.sum(truth * m, axis=(1, 2), keepdims=True)
-                        / jnp.sum(m, axis=(1, 2), keepdims=True))
+                        / jnp.maximum(count, 1.0))
+        mean_idepths = jnp.where(count > 0, mean_idepths, 1.0)
     else:
         mean_idepths = jnp.ones_like(truth[:, :1, :1])
 

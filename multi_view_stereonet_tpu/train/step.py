@@ -92,9 +92,6 @@ def make_loss_fn(model_config: MultiViewStereoNetConfig,
             outputs["right_idepthmap_raw_pyr"] = right_out["left_idepthmap_raw_pyr"]
             outputs["right_idepthmap_mask_pyr"] = right_out["left_idepthmap_mask_pyr"]
 
-        if not multi_view:
-            inputs = dict(inputs)  # consistency losses expect (B,4,4) poses
-
         loss, loss_dict, _ = compute_losses(inputs, outputs, loss_config)
         return loss, loss_dict
 

@@ -90,8 +90,10 @@ def build_train_step(params_cfg, steps_per_epoch):
     return model_config, loss_config, tx, step
 
 
-def validate(params, val_loader, model_config, loss_config):
-    """Per-epoch validation: loss + disparity metrics (validation.txt)."""
+def make_val_step(model_config, loss_config):
+    """Jitted validation step, built ONCE per run -- a fresh function
+    per epoch would never hit the jit cache and recompile the whole
+    validation graph every epoch."""
     from ..losses import compute_losses
 
     @jax.jit
@@ -106,6 +108,11 @@ def validate(params, val_loader, model_config, loss_config):
             outputs["left_idepthmap_pyr"][0], inputs["left_idepthmap_true"])
         return loss, m
 
+    return val_step
+
+
+def validate(params, val_loader, val_step):
+    """Per-epoch validation: loss + disparity metrics (validation.txt)."""
     totals = None
     loss_sum, n = 0.0, 0
     for batch in val_loader:
@@ -140,7 +147,7 @@ def train(params_cfg, data_dir, train_split, val_split, output_dir,
         val_dataset = make_dataset(params_cfg, data_dir, val_split, False,
                                    params_cfg["num_val_images"])
         val_loader = BatchLoader(val_dataset, params_cfg["batch_size"],
-                                 shuffle=False)
+                                 shuffle=False, drop_last=False)
 
     model_config, loss_config, tx, train_step = build_train_step(
         params_cfg, steps_per_epoch)
@@ -152,6 +159,7 @@ def train(params_cfg, data_dir, train_split, val_split, output_dir,
 
     prev = params_cfg.get("previous_checkpoint_dir", "")
     latest = ckpt.latest_epoch(ckpt_root)
+    resume_step = 0
     if prev:
         params = ckpt.load_params(prev, template=params)
         print(f"resumed params from {prev}")
@@ -160,7 +168,8 @@ def train(params_cfg, data_dir, train_split, val_split, output_dir,
             "params": params, "opt_state": opt_state, "step": np.asarray(0)})
         params, opt_state = state["params"], state["opt_state"]
         start_epoch = latest + 1
-        print(f"resumed from epoch {latest}")
+        resume_step = int(state["step"])
+        print(f"resumed from epoch {latest} (step {resume_step})")
 
     print(f"model parameters: {count_parameters(params)}")
 
@@ -171,11 +180,18 @@ def train(params_cfg, data_dir, train_split, val_split, output_dir,
     n_data = mesh.devices.size
 
     jit_step = jax.jit(train_step, donate_argnums=(0, 1))
+    val_step = (make_val_step(model_config, loss_config)
+                if val_loader is not None else None)
+    # One reusable jitted forward for debug-image dumps (a fresh lambda
+    # per dump would retrace and recompile the model every time).
+    debug_forward = jax.jit(lambda p, i: mvsnet_forward(
+        p, i["left_image_pyr"], i["K_pyr"], i["T_right_in_left"],
+        i["right_image_pyr"], model_config))
 
     loss_file = os.path.join(output_dir, "losses.txt")
     val_file = os.path.join(output_dir, "validation.txt")
     debug_dir = os.path.join(output_dir, "debug_images")
-    step_count = 0
+    step_count = resume_step
     num_epochs = max_epochs if max_epochs is not None else params_cfg["num_epochs"]
 
     # Device-timeline trace of the first ``profile_steps`` steps
@@ -192,6 +208,7 @@ def train(params_cfg, data_dir, train_split, val_split, output_dir,
             for batch_idx, batch in enumerate(loader):
                 names = batch.pop("left_filenames")
                 batch.pop("right_filenames")
+                mv_batch = batch  # V-axis form, for the debug-image dump
                 if params_cfg.get("estimate_right_idepthmap", False):
                     # Adapt the V-axis batch to the two-view interface.
                     batch = dict(batch)
@@ -223,13 +240,11 @@ def train(params_cfg, data_dir, train_split, val_split, output_dir,
                     plot_losses(loss_file, os.path.join(output_dir, "plots"))
                 if (params_cfg["debug_image_freq"]
                         and step_count % params_cfg["debug_image_freq"] == 0):
+                    # Always from the V-axis batch: the two-view recipe
+                    # pops right_images from the adapted copy.
                     inputs = multi_view_unpack_batch(
-                        {k: jnp.asarray(v) for k, v in batch.items()})
-                    outputs = jax.jit(
-                        lambda p, i: mvsnet_forward(
-                            p, i["left_image_pyr"], i["K_pyr"],
-                            i["T_right_in_left"], i["right_image_pyr"],
-                            model_config))(params, inputs)
+                        {k: jnp.asarray(v) for k, v in mv_batch.items()})
+                    outputs = debug_forward(params, inputs)
                     inputs["left_filenames"] = names
                     log_debug_images(epoch, step_count, 0, inputs,
                                      jax.device_get(outputs), debug_dir)
@@ -237,8 +252,7 @@ def train(params_cfg, data_dir, train_split, val_split, output_dir,
                     break
 
             if val_loader is not None:
-                val_loss, metrics = validate(params, val_loader, model_config,
-                                             loss_config)
+                val_loss, metrics = validate(params, val_loader, val_step)
                 log_validation_metrics(epoch, val_loss, metrics, val_file)
                 print(f"epoch {epoch} validation loss {val_loss:.4f} {metrics}")
 
