@@ -86,6 +86,13 @@ class MultiViewStereoNetConfig:
     #   "highest": f32-exact multi-pass -- 64 dm/s, matches the CPU
     #              golden tests bit-for-bit.
     matmul_precision: str = "default"
+    # Run the left extraction and the min-idepth right extraction as ONE
+    # batched feature-network call (B + B*V). Numerically identical to two
+    # separate calls (everything is per-sample), but faster single-chip.
+    # Set False on a (data, view) mesh: the concat mixes a P('data') array
+    # with a P(('data','view')) one, which forces GSPMD into involuntary
+    # full rematerialization of the activations.
+    fold_extractor_batch: bool = True
     # Rematerialize the idepthmap refiners under grad (jax.checkpoint):
     # the full-res refiner activations dominate training memory (6
     # resblocks x 39 MB at level 0 per batch element); remat trades a
@@ -295,13 +302,23 @@ def _forward_impl(params, left_image_pyr, K_pyr, T_right_in_lefts,
     # MXU underutilization are paid once.
     warped0 = min_idepth_warp(T_bv, K0_bv, right0_bv, idepth_samples,
                               warp_precision)
-    stacked = jnp.concatenate(
-        [left_image_pyr[0].astype(cdt), warped0.astype(cdt)], axis=0)
-    stacked_pyr = feature_network(params["feature_network"], stacked,
-                                  use_s2d=config.use_s2d_frontend)
-    left_feature_pyr = [lvl[:B] for lvl in stacked_pyr]
+    if config.fold_extractor_batch:
+        stacked = jnp.concatenate(
+            [left_image_pyr[0].astype(cdt), warped0.astype(cdt)], axis=0)
+        stacked_pyr = feature_network(params["feature_network"], stacked,
+                                      use_s2d=config.use_s2d_frontend)
+        left_feature_pyr = [lvl[:B] for lvl in stacked_pyr]
+        right_feats0 = stacked_pyr[-1][B:]  # (B*V, h4, w4, C)
+    else:
+        # Mesh-friendly path: the P('data') left batch and the
+        # P(('data','view')) right batch never share an array.
+        left_feature_pyr = feature_network(
+            params["feature_network"], left_image_pyr[0].astype(cdt),
+            use_s2d=config.use_s2d_frontend)
+        right_feats0 = feature_network(
+            params["feature_network"], warped0.astype(cdt),
+            use_s2d=config.use_s2d_frontend)[-1]
     left_feats4 = left_feature_pyr[-1]  # (B, h4, w4, C)
-    right_feats0 = stacked_pyr[-1][B:]  # (B*V, h4, w4, C)
 
     right_feat_vol, right_mask_vol = incremental_right_features(
         params, T_bv, K0_bv, K4_bv, right0_bv, right4_bv, idepth_samples,

@@ -16,7 +16,15 @@ def make_mesh(n_devices: int | None = None, data: int | None = None,
         n_devices = len(devices)
     if data is None:
         data = n_devices // view
-    assert data * view == n_devices, (data, view, n_devices)
+    if data * view != n_devices:
+        raise ValueError(
+            f"mesh shape ({data} data x {view} view) != {n_devices} devices")
+    if len(devices) < n_devices:
+        raise RuntimeError(
+            f"make_mesh needs {n_devices} devices but jax.devices() has only "
+            f"{len(devices)} ({devices[0].platform}). For CPU testing, set "
+            f"XLA_FLAGS=--xla_force_host_platform_device_count={n_devices} "
+            "and force jax_platforms=cpu BEFORE jax's backend initializes.")
     arr = np.array(devices[:n_devices]).reshape(data, view)
     return Mesh(arr, ("data", "view"))
 
