@@ -161,17 +161,37 @@ def _depth_overlap(ref_K4, ref_depth, cmp_K4, cmp_depth, T_cmp_in_ref):
     return np.sum(proj > 0) / ref_depth.size
 
 
-def create_mvs_split(data_dir, output_file, num_comparison_frames=1,
-                     min_overlap=0.5, min_trans_diff=0.1, ext="jpg", seed=0,
-                     pyramid_level=4):
-    """Offline split curation: pick comparison frames by projected-depth
-    overlap and minimum baseline, sorted by baseline.
+def _image_id(path):
+    return int(os.path.splitext(os.path.basename(path))[0])
 
-    Reference: sample_comparison_frames_with_depthmaps + create_mvs_dataset
-    (gta_sfm_dataset.py:68-233).
+
+def create_mvs_split(data_dir, output_file, num_comparison_frames=1,
+                     method="depth", min_overlap=0.5, min_trans_diff=0.1,
+                     max_trans_diff=5.0, min_angle_diff_deg=0.0,
+                     max_angle_diff_deg=45.0, ext="jpg", seed=0,
+                     pyramid_level=4):
+    """Offline split curation: pick comparison frames for each reference.
+
+    ``method="depth"`` (reference sample_comparison_frames_with_depthmaps,
+    gta_sfm_dataset.py:68-161): keep frames whose bidirectional
+    projected-depth overlap exceeds ``min_overlap`` with baseline above
+    ``min_trans_diff``; sample, then sort the chosen frames by baseline.
+
+    ``method="pose"`` (reference sample_comparison_frames_with_poses,
+    gta_sfm_dataset.py:17-66): keep frames within the
+    [min_trans_diff, max_trans_diff] translation window AND the
+    [min_angle_diff_deg, max_angle_diff_deg] viewing-direction (z-axis)
+    window; sample without baseline sorting. The reference defaults that
+    sampler to min_trans_diff=0.5.
+
+    Unlike the reference (which zips the pose/intrinsics tables with the
+    image list by row position and breaks on sequences with frame-id
+    gaps), both tables and the depth files are keyed by image id here,
+    matching the runtime _SequenceCache.
     """
     import glob
 
+    assert method in ("depth", "pose"), method
     rng = np.random.default_rng(seed)
     assert not os.path.exists(output_file), output_file
     scale = 1 << pyramid_level
@@ -182,19 +202,24 @@ def create_mvs_split(data_dir, output_file, num_comparison_frames=1,
             images = sorted(glob.glob(os.path.join(seq_dir, "color", f"*{ext}")))
             if not images:
                 continue
-            depths = sorted(glob.glob(os.path.join(seq_dir, "depth", "*.npy")))
-            _, poses = _load_table(os.path.join(seq_dir, "poses.txt"))
-            _, ks = _load_table(os.path.join(seq_dir, "intrinsics.txt"))
+            p_ids, poses = _load_table(os.path.join(seq_dir, "poses.txt"))
+            k_ids, ks = _load_table(os.path.join(seq_dir, "intrinsics.txt"))
+            pose_by_id = dict(zip(p_ids.tolist(), poses))
+            k_by_id = dict(zip(k_ids.tolist(), ks))
 
             downs, K4s, Ts = [], [], []
-            for i in range(len(images)):
-                K = ks[i].reshape(3, 3) / scale
-                K[2, 2] = 1.0
-                K4 = np.eye(4)
-                K4[:3, :3] = K
-                K4s.append(K4)
-                downs.append(np.load(depths[i])[::scale, ::scale])
-                Ts.append(poses[i].reshape(4, 4))
+            for img in images:
+                iid = _image_id(img)
+                Ts.append(pose_by_id[iid].reshape(4, 4))
+                if method == "depth":
+                    K = k_by_id[iid].reshape(3, 3) / scale
+                    K[2, 2] = 1.0
+                    K4 = np.eye(4)
+                    K4[:3, :3] = K
+                    K4s.append(K4)
+                    stem = os.path.splitext(os.path.basename(img))[0]
+                    depth_path = os.path.join(seq_dir, "depth", stem + ".npy")
+                    downs.append(np.load(depth_path)[::scale, ::scale])
 
             for ref in range(len(images)):
                 valid, baselines = [], []
@@ -202,25 +227,36 @@ def create_mvs_split(data_dir, output_file, num_comparison_frames=1,
                     if cmp_ == ref:
                         continue
                     T_ref_in_cmp = np.linalg.inv(Ts[cmp_]) @ Ts[ref]
-                    T_cmp_in_ref = np.linalg.inv(Ts[ref]) @ Ts[cmp_]
                     baseline = np.linalg.norm(T_ref_in_cmp[:3, 3])
-                    if baseline <= min_trans_diff:
-                        continue
-                    o1 = _depth_overlap(K4s[ref], downs[ref], K4s[cmp_],
-                                        downs[cmp_], T_cmp_in_ref)
-                    if o1 <= min_overlap:
-                        continue
-                    o2 = _depth_overlap(K4s[cmp_], downs[cmp_], K4s[ref],
-                                        downs[ref], T_ref_in_cmp)
-                    if o2 <= min_overlap:
-                        continue
+                    if method == "pose":
+                        angle = np.degrees(np.abs(np.arccos(np.clip(
+                            np.dot(Ts[ref][:3, 2], Ts[cmp_][:3, 2]),
+                            -1.0, 1.0))))
+                        if not (min_trans_diff <= baseline <= max_trans_diff):
+                            continue
+                        if not (min_angle_diff_deg <= angle
+                                <= max_angle_diff_deg):
+                            continue
+                    else:
+                        T_cmp_in_ref = np.linalg.inv(Ts[ref]) @ Ts[cmp_]
+                        if baseline <= min_trans_diff:
+                            continue
+                        o1 = _depth_overlap(K4s[ref], downs[ref], K4s[cmp_],
+                                            downs[cmp_], T_cmp_in_ref)
+                        if o1 <= min_overlap:
+                            continue
+                        o2 = _depth_overlap(K4s[cmp_], downs[cmp_], K4s[ref],
+                                            downs[ref], T_ref_in_cmp)
+                        if o2 <= min_overlap:
+                            continue
                     valid.append(cmp_)
                     baselines.append(baseline)
                 if len(valid) < num_comparison_frames:
                     continue
                 perm = rng.permutation(len(valid))[:num_comparison_frames]
-                chosen = sorted(perm, key=lambda j: baselines[j])
+                if method == "depth":  # the pose sampler keeps sample order
+                    perm = sorted(perm, key=lambda j: baselines[j])
                 out.write(os.path.relpath(images[ref], data_dir))
-                for j in chosen:
+                for j in perm:
                     out.write(" " + os.path.relpath(images[valid[j]], data_dir))
                 out.write("\n")

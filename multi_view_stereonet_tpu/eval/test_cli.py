@@ -148,6 +148,7 @@ def run_eval(weights_dir, data_dir, test_split, output_dir="output",
     # the run with a small split); no-op on backends without profiling.
     import contextlib
     from ..utils.timing import profile_trace
+    warmed_shapes = set()
     with contextlib.ExitStack() as _prof:
         _prof.enter_context(profile_trace(profile_dir))
         for batch in loader:
@@ -155,13 +156,17 @@ def run_eval(weights_dir, data_dir, test_split, output_dir="output",
             batch.pop("right_filenames")
             jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
 
-            if num_batches == 0:
-                # Warm the jit cache before timing: the first dispatch
-                # otherwise charges minutes of (remote) compilation to
-                # runtime_metrics.txt, swamping the averages the
-                # reference's network-only timers are compared against.
+            shape_key = tuple(sorted((k, v.shape) for k, v in jbatch.items()))
+            if shape_key not in warmed_shapes:
+                # Warm the jit cache before timing EVERY new batch shape
+                # (the trailing partial batch compiles again!): a cold
+                # dispatch otherwise charges minutes of (remote)
+                # compilation to runtime_metrics.txt, swamping the
+                # averages the reference's network-only timers
+                # (/root/reference/test.py:208-209) are compared against.
                 jax.block_until_ready(
                     _eval_step(params, jbatch, model_config, loss_config))
+                warmed_shapes.add(shape_key)
             t0 = time.perf_counter()
             out = _eval_step(params, jbatch, model_config, loss_config)
             # One bulk device->host transfer (per-scalar fetches are round

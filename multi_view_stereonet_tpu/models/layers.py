@@ -153,6 +153,42 @@ def resnet_block(params, x: jnp.ndarray, dilation: int = 1) -> jnp.ndarray:
     return out + x
 
 
+def init_upsampler(key, channels: int, refine: bool = True):
+    """Upsampler params (reference multi_view_stereonet.py:355-380).
+
+    ``refine=True`` adds a conv3x3 whose weight is dirac-initialized (the
+    identity kernel; torch ``tnn.init.dirac_``) with zero bias, so the
+    fresh module starts as a pure bilinear upsample. The shipped model
+    instantiates ``Upsampler(1, False, False)`` (plain bilinear, see
+    ops.resize.resize_bilinear); this variant exists for capability
+    parity with the reference class.
+    """
+    if not refine:
+        return {}
+    p = init_conv2d(key, 3, 3, channels, channels, bias=True)
+    w = np.zeros((3, 3, channels, channels), dtype=np.float32)
+    w[1, 1, np.arange(channels), np.arange(channels)] = 1.0
+    p["w"] = jnp.asarray(w)
+    return p
+
+
+def upsampler(params, x: jnp.ndarray, out_size, relu: bool = True) -> jnp.ndarray:
+    """Bilinear resize -> optional refine conv3x3 -> optional ReLU.
+
+    x: (B, H, W, C). Reference: Upsampler.forward
+    (multi_view_stereonet.py:372-380). Pass the empty dict from
+    ``init_upsampler(refine=False)`` for the identity-refiner path.
+    """
+    from ..ops.resize import resize_bilinear
+
+    x = resize_bilinear(x, out_size)
+    if params:
+        x = conv2d(params, x)
+    if relu:
+        x = jnp.maximum(x, 0)
+    return x
+
+
 def init_basic_block(key, cin: int, cout: int):
     """Two-conv residual block params (torchvision-style BasicBlock).
 

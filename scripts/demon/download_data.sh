@@ -12,7 +12,11 @@ mkdir -p "$OUT"
 BASE="https://lmb.informatik.uni-freiburg.de/data/demon/traindata"
 if [[ "$MODE" == "test" ]]; then
     BASE="https://lmb.informatik.uni-freiburg.de/data/demon/testdata"
-    FILES=(mvs_test.h5 rgbd_test.h5 scenes11_test.h5 sun3d_test.h5)
+    # nyu2_test.h5 (NYU Depth v2) is part of the reference's test set
+    # (download_testdata.sh:58) but has no GT poses; the eval CLI skips
+    # scenes without poses.
+    FILES=(mvs_test.h5 rgbd_test.h5 scenes11_test.h5 sun3d_test.h5
+           nyu2_test.h5)
 else
     FILES=(mvs_train.h5 rgbd_10_to_20_3d_train.h5
            rgbd_10_to_20_handheld_train.h5 rgbd_20_to_inf_3d_train.h5

@@ -87,6 +87,98 @@ def test_create_mvs_split(tmp_path):
         assert tokens[0].endswith(".jpg")
 
 
+def test_create_mvs_split_pose_method(tmp_path):
+    """Pose-based curation (reference gta_sfm_dataset.py:17-66): frames are
+    kept by translation/viewing-angle windows, no depth IO at all."""
+    from multi_view_stereonet_tpu.data import create_mvs_split
+
+    root = str(tmp_path)
+    data_dir, _ = make_gta_sfm_tree(root, rows=64, cols=96, frames=4,
+                                    num_sequences=1)
+    out_file = os.path.join(root, "pose_split.txt")
+    create_mvs_split(os.path.join(data_dir, "test"), out_file,
+                     num_comparison_frames=1, method="pose",
+                     min_trans_diff=0.3, max_trans_diff=5.0)
+    lines = [l.split() for l in open(out_file) if l.strip()]
+    assert lines, "pose curation produced no pairs"
+    for tokens in lines:
+        assert len(tokens) == 2
+        # cameras sit ~0.4*f apart on x; the window forbids adjacent-only
+        # self pairs and identical frames
+        assert tokens[0] != tokens[1]
+
+
+def test_create_mvs_split_keys_tables_by_image_id(tmp_path):
+    """Frame-id gaps: the curator must pair calibration by image id, not
+    table row position (the reference zips by enumeration and silently
+    mispairs; regression for the same latent bug here)."""
+    from multi_view_stereonet_tpu.data import create_mvs_split
+
+    root = str(tmp_path)
+    data_dir, _ = make_gta_sfm_tree(root, rows=64, cols=96, frames=4,
+                                    num_sequences=1)
+    # Delete frame 1's files but keep its table rows: ids on disk are
+    # now {0, 2, 3} while the tables still list {0, 1, 2, 3}.
+    seq_dir = os.path.join(data_dir, "test", "seq00")
+    os.remove(os.path.join(seq_dir, "color", "000001.jpg"))
+    os.remove(os.path.join(seq_dir, "depth", "000001.npy"))
+
+    # Cameras sit at x ~= 0.4*f. With a [1.0, 5.0] translation window only
+    # the (0, 3) pair (~1.2) qualifies. Positional keying would read
+    # frames {0, 2, 3} at pose rows {0, 1, 2} (x = 0, 0.4, 0.8) and find
+    # no pair at all.
+    out_file = os.path.join(root, "gap_split.txt")
+    create_mvs_split(os.path.join(data_dir, "test"), out_file,
+                     num_comparison_frames=1, method="pose",
+                     min_trans_diff=1.0, max_trans_diff=5.0)
+    lines = sorted(l.split() for l in open(out_file) if l.strip())
+    assert lines == [
+        ["seq00/color/000000.jpg", "seq00/color/000003.jpg"],
+        ["seq00/color/000003.jpg", "seq00/color/000000.jpg"],
+    ], lines
+
+
+def test_eval_warms_every_batch_shape(tmp_path, monkeypatch):
+    """The trailing partial batch has a new shape; eval must warm the jit
+    cache for it too, or minutes of compile land in runtime_metrics.txt
+    (the reference times only the network, test.py:208-209)."""
+    import yaml
+
+    import multi_view_stereonet_tpu.eval.test_cli as tc
+    from multi_view_stereonet_tpu.checkpoint.native import save_params
+    from multi_view_stereonet_tpu.models import init_mvsnet
+
+    import jax
+
+    root = str(tmp_path)
+    data_dir, split = make_gta_sfm_tree(root, rows=64, cols=96, frames=4,
+                                        num_sequences=1)  # 3 samples
+    run_dir = os.path.join(root, "run")
+    weights_dir = os.path.join(run_dir, "checkpoints", "epoch0000")
+    os.makedirs(weights_dir)
+    save_params(weights_dir, init_mvsnet(jax.random.PRNGKey(0)))
+    with open(os.path.join(run_dir, "params.yaml"), "w") as f:
+        yaml.dump({"size": [64, 96]}, f)
+
+    shape_calls = {}
+    real_step = tc._eval_step
+
+    def counting_step(params, batch, model_config, loss_config):
+        key = tuple(sorted((k, v.shape) for k, v in batch.items()))
+        shape_calls[key] = shape_calls.get(key, 0) + 1
+        return real_step(params, batch, model_config, loss_config)
+
+    monkeypatch.setattr(tc, "_eval_step", counting_step)
+    monkeypatch.chdir(root)
+    tc.run_eval(weights_dir, data_dir, split,
+                output_dir=os.path.join(root, "out"), batch_size=2)
+
+    # 3 samples / batch 2 -> a full batch and a trailing batch: two
+    # distinct shapes, each warmed once = 2 calls per shape.
+    assert len(shape_calls) == 2, shape_calls
+    assert all(n == 2 for n in shape_calls.values()), shape_calls
+
+
 def test_pfm_roundtrip(tmp_path):
     from multi_view_stereonet_tpu.utils.pfm_utils import read_pfm, write_pfm
 
