@@ -86,6 +86,15 @@ class MultiViewStereoNetConfig:
     #   "highest": f32-exact multi-pass -- 64 dm/s, matches the CPU
     #              golden tests bit-for-bit.
     matmul_precision: str = "default"
+    # Per-stage overrides of the ambient matmul precision: a tuple of
+    # (stage, precision) pairs, stages in {"extractor", "chain", "cost",
+    # "refiners", "warp"}. Lets a config pin only the accuracy-critical
+    # stage(s) while the rest rides the fast bf16 MXU path -- e.g.
+    # matmul_precision="default" + (("refiners", "high"),). An override
+    # on "chain" (or a non-default ambient) routes the incremental chain
+    # to the lax.scan (the Pallas kernel inherits ambient precision and
+    # Mosaic rejects HIGH).
+    stage_precision: tuple = ()
     # Run the left extraction and the min-idepth right extraction as ONE
     # batched feature-network call (B + B*V). Numerically identical to two
     # separate calls (everything is per-sample), but faster single-chip.
@@ -272,9 +281,17 @@ def mvsnet_forward(params, left_image_pyr, K_pyr, T_right_in_lefts,
 
 def _forward_impl(params, left_image_pyr, K_pyr, T_right_in_lefts,
                   right_image_pyrs, config: MultiViewStereoNetConfig):
+    import contextlib
+
     D = config.num_idepth_samples
     do_refiners = tuple(config.do_refiners)
     cdt = jnp.dtype(config.compute_dtype)
+    stage_prec = dict(config.stage_precision)
+
+    def prec(stage):
+        p = stage_prec.get(stage)
+        return (jax.default_matmul_precision(p) if p
+                else contextlib.nullcontext())
 
     B, V = T_right_in_lefts.shape[0], T_right_in_lefts.shape[1]
     h4, w4 = left_image_pyr[4].shape[1], left_image_pyr[4].shape[2]
@@ -293,7 +310,7 @@ def _forward_impl(params, left_image_pyr, K_pyr, T_right_in_lefts,
     # default (bf16) convs an f32-exact warp buys nothing, so the big warp
     # runs single-pass too (HIGHEST restores bit-level warp exactness).
     warp_precision = ("highest" if config.matmul_precision == "highest"
-                      else "default")
+                      else stage_prec.get("warp", "default"))
 
     # Left features (:552) and the min-idepth right features (:254-261)
     # come from the SAME weight-shared extractor on same-shape inputs --
@@ -302,50 +319,55 @@ def _forward_impl(params, left_image_pyr, K_pyr, T_right_in_lefts,
     # MXU underutilization are paid once.
     warped0 = min_idepth_warp(T_bv, K0_bv, right0_bv, idepth_samples,
                               warp_precision)
-    if config.fold_extractor_batch:
-        stacked = jnp.concatenate(
-            [left_image_pyr[0].astype(cdt), warped0.astype(cdt)], axis=0)
-        stacked_pyr = feature_network(params["feature_network"], stacked,
-                                      use_s2d=config.use_s2d_frontend)
-        left_feature_pyr = [lvl[:B] for lvl in stacked_pyr]
-        right_feats0 = stacked_pyr[-1][B:]  # (B*V, h4, w4, C)
-    else:
-        # Mesh-friendly path: the P('data') left batch and the
-        # P(('data','view')) right batch never share an array.
-        left_feature_pyr = feature_network(
-            params["feature_network"], left_image_pyr[0].astype(cdt),
-            use_s2d=config.use_s2d_frontend)
-        right_feats0 = feature_network(
-            params["feature_network"], warped0.astype(cdt),
-            use_s2d=config.use_s2d_frontend)[-1]
+    with prec("extractor"):
+        if config.fold_extractor_batch:
+            stacked = jnp.concatenate(
+                [left_image_pyr[0].astype(cdt), warped0.astype(cdt)], axis=0)
+            stacked_pyr = feature_network(params["feature_network"], stacked,
+                                          use_s2d=config.use_s2d_frontend)
+            left_feature_pyr = [lvl[:B] for lvl in stacked_pyr]
+            right_feats0 = stacked_pyr[-1][B:]  # (B*V, h4, w4, C)
+        else:
+            # Mesh-friendly path: the P('data') left batch and the
+            # P(('data','view')) right batch never share an array.
+            left_feature_pyr = feature_network(
+                params["feature_network"], left_image_pyr[0].astype(cdt),
+                use_s2d=config.use_s2d_frontend)
+            right_feats0 = feature_network(
+                params["feature_network"], warped0.astype(cdt),
+                use_s2d=config.use_s2d_frontend)[-1]
     left_feats4 = left_feature_pyr[-1]  # (B, h4, w4, C)
 
-    right_feat_vol, right_mask_vol = incremental_right_features(
-        params, T_bv, K0_bv, K4_bv, right0_bv, right4_bv, idepth_samples,
-        compute_dtype=cdt,
-        warp_precision=warp_precision,
-        use_s2d_frontend=config.use_s2d_frontend,
-        feats0=right_feats0,
-        # Fused chain only at DEFAULT ambient precision: its unpinned
-        # conv dots inherit the ambient matmul precision, and Mosaic
-        # rejects HIGH ("Unsupported dot precision"); "highest" keeps
-        # the scan for CPU golden parity anyway.
-        use_fused_chain=(config.use_fused_incremental
-                         and config.matmul_precision == "default"))
+    with prec("chain"):
+        right_feat_vol, right_mask_vol = incremental_right_features(
+            params, T_bv, K0_bv, K4_bv, right0_bv, right4_bv, idepth_samples,
+            compute_dtype=cdt,
+            warp_precision=warp_precision,
+            use_s2d_frontend=config.use_s2d_frontend,
+            feats0=right_feats0,
+            # Fused chain only at DEFAULT ambient precision: its unpinned
+            # conv dots inherit the ambient matmul precision, and Mosaic
+            # rejects HIGH ("Unsupported dot precision"); "highest" keeps
+            # the scan for CPU golden parity anyway.
+            use_fused_chain=(config.use_fused_incremental
+                            and config.matmul_precision == "default"
+                            and stage_prec.get("chain") is None))
 
     # Cost volume: |left - right|, invalid voxels zeroed (:587-592).
     left_vol = jnp.repeat(left_feats4, V, axis=0)[:, None]  # (B*V, 1, h4, w4, C)
     cost = jnp.abs(left_vol - right_feat_vol)
     cost = jnp.where(right_mask_vol[..., None], jnp.zeros((), cost.dtype), cost)
 
-    if config.do_cost_volume_filter:
-        if config.use_s2d_cost_filter and h4 % 2 == 0 and w4 % 2 == 0:
-            cost_volume = cost_volume_filter_s2d(params["volume_filter4"], cost)
+    with prec("cost"):
+        if config.do_cost_volume_filter:
+            if config.use_s2d_cost_filter and h4 % 2 == 0 and w4 % 2 == 0:
+                cost_volume = cost_volume_filter_s2d(params["volume_filter4"],
+                                                     cost)
+            else:
+                cost_volume = cost_volume_filter(params["volume_filter4"], cost)
         else:
-            cost_volume = cost_volume_filter(params["volume_filter4"], cost)
-    else:
-        cost_volume = jnp.sqrt(jnp.sum(jnp.square(
-            cost.astype(jnp.float32)), axis=-1))
+            cost_volume = jnp.sqrt(jnp.sum(jnp.square(
+                cost.astype(jnp.float32)), axis=-1))
 
     # Soft-argmin always in float32 (idepth values are precision-sensitive).
     idepth4_raw = extract_idepthmap(
@@ -357,9 +379,11 @@ def _forward_impl(params, left_image_pyr, K_pyr, T_right_in_lefts,
         guidance4 = jnp.concatenate(
             [left_image_pyr[4].astype(cdt), left_feats4], axis=-1)
         guidance4_bv = jnp.repeat(guidance4, V, axis=0)
-        idepth4 = _refine_level(params, "refiner4", guidance4_bv, idepth4_raw,
-                                K4_bv[:, 0, 0], config.use_s2d_refiners, cdt,
-                                remat=config.remat_refiners)
+        with prec("refiners"):
+            idepth4 = _refine_level(params, "refiner4", guidance4_bv,
+                                    idepth4_raw, K4_bv[:, 0, 0],
+                                    config.use_s2d_refiners, cdt,
+                                    remat=config.remat_refiners)
         idepth4_raw = idepth4_raw / b_hw
         idepth4 = idepth4 / b_hw
     else:
@@ -398,10 +422,11 @@ def _forward_impl(params, left_image_pyr, K_pyr, T_right_in_lefts,
                 guidance = jnp.concatenate(
                     [left_image_pyr[lvl].astype(cdt), left_feature_pyr[lvl]],
                     axis=-1)
-            idepth_lvl = _refine_level(params, f"refiner{lvl}", guidance, prior,
-                                       K_pyr[lvl][:, 0, 0],
-                                       config.use_s2d_refiners, cdt,
-                                       remat=config.remat_refiners)
+            with prec("refiners"):
+                idepth_lvl = _refine_level(params, f"refiner{lvl}", guidance,
+                                           prior, K_pyr[lvl][:, 0, 0],
+                                           config.use_s2d_refiners, cdt,
+                                           remat=config.remat_refiners)
         else:
             idepth_lvl = prior
 

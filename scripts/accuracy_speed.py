@@ -1,0 +1,137 @@
+#!/usr/bin/env python
+"""Accuracy-at-speed sweep: abs_rel (synthetic plane scene, pretrained
+weights) AND device-side forward time per precision config, on the TPU.
+
+North star (BASELINE.md): abs_rel within 1% of the reference at >= 10x
+its throughput. The reference value is this script's "highest" row
+(bit-parity with the torch reference). Stage overrides localize which
+bf16 stage drives the deviation.
+
+Usage: python scripts/accuracy_speed.py [config ...]
+  (default: a curated ladder; names below)
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+PRETRAINED = "/root/reference/pretrained/gta_sfm_150epochs/checkpoints/epoch0149"
+
+CONFIGS = {
+    "highest": dict(matmul_precision="highest"),
+    "high": dict(matmul_precision="high"),
+    "default": dict(),
+    "bf16": dict(compute_dtype="bfloat16"),
+    "cost_high": dict(stage_precision=(("cost", "high"),)),
+    "refiners_high": dict(stage_precision=(("refiners", "high"),)),
+    "extractor_high": dict(stage_precision=(("extractor", "high"),)),
+    "chain_high": dict(stage_precision=(("chain", "high"),)),
+    "warp_high": dict(stage_precision=(("warp", "high"),)),
+    "cost_refiners_high": dict(
+        stage_precision=(("cost", "high"), ("refiners", "high"))),
+    "all_but_refiners_high": dict(
+        stage_precision=(("cost", "high"), ("extractor", "high"),
+                         ("chain", "high"), ("warp", "high"))),
+}
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from multi_view_stereonet_tpu.checkpoint.native import load_any_params
+    from multi_view_stereonet_tpu.data import (
+        GTASfMMultiViewDataset, BatchLoader, get_testing_transforms,
+    )
+    from multi_view_stereonet_tpu.models import (
+        MultiViewStereoNetConfig, mvsnet_forward,
+    )
+    from multi_view_stereonet_tpu.train.pipeline import multi_view_unpack_batch
+    from tests.synthetic_data import make_gta_sfm_tree
+    from __graft_entry__ import _example_batch
+
+    names = sys.argv[1:] or list(CONFIGS)
+
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="accspeed_")
+    data_dir, split = make_gta_sfm_tree(root, rows=480, cols=640,
+                                        frames=4, num_sequences=2)
+    params = load_any_params(PRETRAINED)
+
+    tf = get_testing_transforms({"size": [480, 640]})
+    ds = GTASfMMultiViewDataset(data_dir, split, 0, tf,
+                                load_groundtruth_depthmaps=True)
+    batches = []
+    for b in BatchLoader(ds, batch_size=2, shuffle=False, drop_last=False,
+                         workers=2):
+        b.pop("left_filenames"); b.pop("right_filenames")
+        batches.append(b)
+
+    def forward(config, jbatch):
+        inputs = multi_view_unpack_batch(jbatch)
+        out = mvsnet_forward(params, inputs["left_image_pyr"],
+                             inputs["K_pyr"], inputs["T_right_in_left"],
+                             inputs["right_image_pyr"], config)
+        return out["left_idepthmap_pyr"][0] / inputs["baseline"][:, None, None]
+
+    bench_batch = {k: jnp.asarray(v)
+                   for k, v in _example_batch(1, 1, 480, 640).items()}
+
+    print(f"{'config':24s} {'abs_rel':>8s} {'ms_b1':>7s} {'dm/s':>6s}",
+          flush=True)
+    results = {}
+    for name in names:
+        config = MultiViewStereoNetConfig(**CONFIGS[name])
+        fwd = jax.jit(lambda b, c=config: forward(c, b))
+
+        rels = []
+        for b in batches:
+            jb = {k: jnp.asarray(v) for k, v in b.items()}
+            idepth = np.asarray(fwd(jb))
+            for i in range(idepth.shape[0]):
+                depth_true = b["left_depthmap_true"][i]
+                est = np.where(idepth[i] > 0,
+                               1.0 / np.maximum(idepth[i], 1e-9), 0.0)
+                mask = (depth_true > 0) & (depth_true < 1e3) \
+                    & (est > 0) & (est < 1e3)
+                rels.append(np.mean(np.abs(depth_true[mask] - est[mask])
+                                    / depth_true[mask]))
+        abs_rel = float(np.mean(rels))
+
+        @jax.jit
+        def loop(b=bench_batch, c=config):
+            def body(i, acc):
+                bb = dict(b)
+                bb["left_image"] = b["left_image"] + i.astype(jnp.float32) * 1e-12
+                return acc + jnp.sum(forward(c, bb))
+            return jax.lax.fori_loop(0, 50, body, jnp.float32(0.0))
+
+        jax.block_until_ready(loop())
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            jax.block_until_ready(loop())
+            times.append(time.perf_counter() - t0)
+        ms = min(times) / 50 * 1000.0
+        results[name] = (abs_rel, ms)
+        print(f"{name:24s} {abs_rel:8.4f} {ms:7.2f} {1000.0/ms:6.1f}",
+              flush=True)
+
+    if "highest" in results:
+        ref = results["highest"][0]
+        print(f"\nreference abs_rel (bit-parity mode): {ref:.4f}")
+        for name, (r, ms) in results.items():
+            print(f"{name:24s} delta={100.0 * (r - ref) / ref:+6.2f}%  "
+                  f"{1000.0/ms:6.1f} dm/s", flush=True)
+
+
+if __name__ == "__main__":
+    main()

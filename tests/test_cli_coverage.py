@@ -25,6 +25,7 @@ def _stage_weights(run_dir, checkpoint, size):
     return weights_dir
 
 
+@pytest.mark.slow
 @pytest.mark.skipif(not reference_available(), reason="needs pretrained weights")
 def test_eval_cli_multi_view_v2(tmp_path, monkeypatch):
     """2-comparison-view eval through the CLI (the reference's
@@ -48,6 +49,7 @@ def test_eval_cli_multi_view_v2(tmp_path, monkeypatch):
     assert trace_files, "profiler trace not written"
 
 
+@pytest.mark.slow
 @pytest.mark.skipif(not reference_available(), reason="needs pretrained weights")
 def test_eval_cli_demon(tmp_path, monkeypatch):
     """DeMoN dataset + checkpoint through the CLI with per-type breakdown."""
@@ -138,6 +140,7 @@ def test_create_mvs_split_keys_tables_by_image_id(tmp_path):
     ], lines
 
 
+@pytest.mark.slow
 def test_eval_warms_every_batch_shape(tmp_path, monkeypatch):
     """The trailing partial batch has a new shape; eval must warm the jit
     cache for it too, or minutes of compile land in runtime_metrics.txt

@@ -109,6 +109,7 @@ def pretrained_sd():
     return load_torchscript_weights(PRETRAINED)
 
 
+@pytest.mark.slow
 def test_forward_parity_pretrained_single_view(reference_modules, pretrained_sd):
     left, rights, K, T = make_inputs(B=1, V=1)
     ref_out = torch_forward(reference_modules, pretrained_sd, left, rights, K, T)
@@ -116,6 +117,7 @@ def test_forward_parity_pretrained_single_view(reference_modules, pretrained_sd)
     assert_outputs_close(jax_out, ref_out)
 
 
+@pytest.mark.slow
 def test_forward_parity_pretrained_multi_view(reference_modules, pretrained_sd):
     left, rights, K, T = make_inputs(B=1, V=3, seed=1)
     ref_out = torch_forward(reference_modules, pretrained_sd, left, rights, K, T)
@@ -133,6 +135,7 @@ def test_forward_parity_no_filter_no_refiners(reference_modules, pretrained_sd):
     assert_outputs_close(jax_out, ref_out)
 
 
+@pytest.mark.slow
 def test_forward_parity_random_weights(reference_modules):
     """Fresh torch init exported to JAX: exercises every parameter mapping."""
     import torch

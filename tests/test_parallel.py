@@ -17,6 +17,7 @@ from multi_view_stereonet_tpu.train.step import (
 from __graft_entry__ import _example_batch
 
 
+@pytest.mark.slow
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
 def test_data_view_parallel_train_step():
     mesh = make_mesh(8, view=2)
@@ -48,6 +49,7 @@ def test_data_view_parallel_train_step():
     assert leaf.sharding.is_fully_replicated
 
 
+@pytest.mark.slow
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
 def test_view_parallel_matches_single_device():
     """view=2 mesh vs single device: identical loss AND gradients.
@@ -86,6 +88,7 @@ def test_view_parallel_matches_single_device():
         np.testing.assert_allclose(p1, p8, rtol=1e-4, atol=1e-6 * gscale)
 
 
+@pytest.mark.slow
 def test_fold_extractor_batch_numerics():
     """fold_extractor_batch=True/False are numerically identical.
 
@@ -127,6 +130,7 @@ def test_dryrun_multichip_fresh_subprocess():
     assert "dryrun_multichip ok" in proc.stdout
 
 
+@pytest.mark.slow
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
 def test_data_parallel_matches_single_device():
     """Same batch, 1 device vs 8 devices: identical loss."""

@@ -13,6 +13,7 @@ from multi_view_stereonet_tpu.data import GTASfMMultiViewDataset, get_testing_tr
 from tests.synthetic_data import make_gta_sfm_tree
 
 
+@pytest.mark.slow
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
 def test_streaming_runner_mesh(tmp_path):
     data_dir, split = make_gta_sfm_tree(str(tmp_path), rows=64, cols=96,

@@ -4,6 +4,8 @@ step -> checkpoint write -> resume, on a tiny synthetic GTA-SfM tree
 lifecycle for runs shorter than profile_steps."""
 
 import glob
+
+import pytest
 import os
 
 import numpy as np
@@ -28,6 +30,7 @@ def _tiny_cfg():
     return cfg
 
 
+@pytest.mark.slow
 def test_train_cli_end_to_end_with_resume_and_profile(tmp_path):
     data_dir, split = make_gta_sfm_tree(str(tmp_path), rows=32, cols=48,
                                         frames=6, num_sequences=1)

@@ -2,6 +2,8 @@
 
 import numpy as np
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 
@@ -34,6 +36,7 @@ def _two_view_batch(B=2, H=32, W=32, seed=0):
     }
 
 
+@pytest.mark.slow
 def test_two_view_all_losses_grad():
     """Two-view recipe with estimate_right_idepthmap and every loss term
     active (supervision + LR consistency + reconstruction): loss finite,
@@ -56,6 +59,7 @@ def test_two_view_all_losses_grad():
     assert np.isfinite(gnorm) and gnorm > 0
 
 
+@pytest.mark.slow
 def test_train_step_updates_params_and_accumulates():
     """Adam + 2-step gradient accumulation: params unchanged after the
     first microbatch, changed after the second."""
@@ -92,6 +96,7 @@ def test_lr_schedule_decays():
     assert abs(float(sched(25)) - 2.5e-4) < 1e-9
 
 
+@pytest.mark.slow
 def test_remat_refiners_grads_identical():
     """remat_refiners=True recomputes instead of storing refiner
     activations -- loss and parameter gradients must be unchanged."""
