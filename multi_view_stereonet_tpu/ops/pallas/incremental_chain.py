@@ -270,6 +270,19 @@ def incremental_chain_supported(h4: int, w4: int, C: int,
     batches each step's ops over N -- measured on v5e (30x40x32, D=12),
     the fused kernel wins up to N~6 (N=1: 0.20 vs 0.28 ms; N=4: 0.81 vs
     1.13; N=8: 1.74 vs 1.44), so larger batches keep the scan.
+
+    A batch-tiled redesign (grid (N/T, D-1), samples stacked in the row
+    axis with per-sample slack so conv-tap dots batch across the tile,
+    per-sample GroupNorm via slice reductions) was built and measured in
+    round 2 and LOST everywhere: the per-sample warp weights are
+    T * n_pad^2 * 4 bytes of temporaries, which either OOM scoped vmem
+    when unrolled (the Mosaic scheduler hoists all of them: 17-20 MB at
+    T=2, >100 MB at T=8 even with CompilerParams(vmem_limit_bytes))
+    or, moved into lax.fori_loop + scratch round trips, serialize away
+    the ILP that makes this kernel fast (N=1: 0.48 vs scan 0.42 ms;
+    N=2: 1.05 vs 0.76; N=4: 1.95 vs 1.30). The hat-weight construction
+    is inherently per-sample O(n_pad^2) VPU work, so batching the convs
+    cannot amortize it. Larger batches keep the scan.
     """
     return (h4 >= 2 and w4 >= 2 and C == 32
             and (h4 + 2) * (w4 + 2) <= 8192 and N <= 6)

@@ -1,0 +1,117 @@
+#!/usr/bin/env python
+"""Training-convergence demonstration on the synthetic GTA-SfM tree.
+
+The reference ships checkpoints from a 150-epoch GTA run; the real
+datasets are unavailable here (zero egress), so this is the honest
+substitute: train the full supervised recipe on the on-disk synthetic
+plane scenes to a falling validation EPE, resuming once mid-run
+(epoch 30) to exercise the checkpoint/resume path, then copy the
+loss/validation curves into docs/convergence/.
+
+Runs on CPU (keeps the TPU free; the recipe is identical).
+Usage: python scripts/run_convergence.py [workdir]
+"""
+
+import os
+import shutil
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.jax_cache"))
+
+EPOCHS_FIRST = 30
+EPOCHS_TOTAL = 60
+
+
+def main():
+    from multi_view_stereonet_tpu.train.config import load_params_yaml
+    from multi_view_stereonet_tpu.train.train_cli import train
+    from synthetic_data import make_gta_sfm_tree
+
+    work = sys.argv[1] if len(sys.argv) > 1 else "/tmp/convergence_run"
+    os.makedirs(work, exist_ok=True)
+    data_dir, split = make_gta_sfm_tree(
+        work, num_sequences=2, frames=10, rows=96, cols=128, seed=7)
+
+    # Hold out ~20% of split lines for validation.
+    lines = [l for l in open(split) if l.strip()]
+    train_split = os.path.join(work, "train_gta_sfm.txt")
+    val_split = os.path.join(work, "val_gta_sfm.txt")
+    with open(train_split, "w") as f:
+        f.writelines(lines[: int(len(lines) * 0.8)])
+    with open(val_split, "w") as f:
+        f.writelines(lines[int(len(lines) * 0.8):])
+
+    cfg = load_params_yaml(None)
+    cfg.update({
+        "size": [96, 128],
+        "batch_size": 4,
+        "num_epochs": EPOCHS_TOTAL,
+        "augment": False,
+        "supervision_factor": 1.0,
+        "reconstruction_factor": 0.0,
+        "left_right_factor": 0.0,
+        "learning_rate": 1e-3,
+        "debug_image_freq": 10_000,
+        "plot_freq": 50,
+    })
+
+    out = os.path.join(work, "run")
+    # Phase 1: epochs 0..29, then stop -- simulating an interrupted run.
+    print(f"=== phase 1: epochs 0..{EPOCHS_FIRST - 1} ===", flush=True)
+    train(cfg, data_dir, train_split, val_split, out,
+          max_epochs=EPOCHS_FIRST)
+    # Phase 2: fresh invocation resumes from the latest checkpoint.
+    print(f"=== phase 2: resume -> epoch {EPOCHS_TOTAL - 1} ===", flush=True)
+    train(cfg, data_dir, train_split, val_split, out,
+          max_epochs=EPOCHS_TOTAL)
+
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    dest = os.path.join(repo, "docs", "convergence")
+    os.makedirs(dest, exist_ok=True)
+    for name in ("losses.txt", "validation.txt"):
+        src = os.path.join(out, name)
+        if os.path.exists(src):
+            shutil.copy(src, dest)
+    plots = os.path.join(out, "plots")
+    if os.path.isdir(plots):
+        for name in ("loss.jpg", "supervised_loss.jpg"):
+            if os.path.exists(os.path.join(plots, name)):
+                shutil.copy(os.path.join(plots, name), dest)
+
+    # Summarize: validation EPE must fall (parse by header -- the
+    # metric columns are dict-ordered).
+    lines = [l.split() for l in open(os.path.join(out, "validation.txt"))
+             if l.strip()]
+    header, rows = lines[0], lines[1:]
+    epe_col = header.index("epe")
+    epochs = [int(r[0]) for r in rows]
+    epes = [float(r[epe_col]) for r in rows]
+    print(f"validation EPE: epoch {epochs[0]}: {epes[0]:.3f} -> "
+          f"epoch {epochs[-1]}: {epes[-1]:.3f}", flush=True)
+    with open(os.path.join(dest, "SUMMARY.md"), "w") as f:
+        f.write(
+            "# Synthetic-scene convergence run\n\n"
+            "Full supervised recipe (train.train_cli) on the synthetic\n"
+            "GTA-SfM plane scenes (96x128, 2 sequences x 10 frames, 14\n"
+            f"train / 4 val samples), {EPOCHS_TOTAL} epochs with a resume\n"
+            f"at epoch {EPOCHS_FIRST} (checkpoint -> fresh process path).\n"
+            "The reference's 150-epoch GTA recipe cannot run here (no\n"
+            "dataset egress); this demonstrates the training loop\n"
+            "converges end-to-end: unpack -> forward -> loss -> optax ->\n"
+            "checkpoint -> validation.\n\n"
+            f"Validation EPE (disparity px): epoch {epochs[0]}: "
+            f"{epes[0]:.3f} -> epoch {epochs[-1]}: {epes[-1]:.3f}\n\n"
+            "Artifacts: losses.txt, validation.txt, loss/validation\n"
+            "plots (copied from the run directory).\n")
+    print("done; artifacts in docs/convergence/", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -120,9 +120,11 @@ def test_pallas_warp_interpret_matches_gather():
 
 
 @pytest.mark.slow
-def test_fused_incremental_chain_interpret_matches_scan():
+@pytest.mark.parametrize("N", [1, 2])
+def test_fused_incremental_chain_interpret_matches_scan(N):
     """ops/pallas/incremental_chain.py vs the lax.scan reference, via the
-    Pallas interpreter: forward values and parameter VJP."""
+    Pallas interpreter: forward values and parameter VJP. N=1 covers the
+    unrolled tile path, N=2 the fori_loop tile path."""
     from multi_view_stereonet_tpu.models.refiners import init_feature_refiner
     from multi_view_stereonet_tpu.models.mvsnet import _incremental_scan
     from multi_view_stereonet_tpu.ops.pallas.incremental_chain import (
@@ -132,7 +134,7 @@ def test_fused_incremental_chain_interpret_matches_scan():
     from jax.experimental.pallas import tpu as pltpu
 
     key = jax.random.PRNGKey(0)
-    N, D, h4, w4, C = 2, 5, 16, 24, 32
+    D, h4, w4, C = 5, 16, 24, 32
     assert incremental_chain_supported(h4, w4, C)
     params = init_feature_refiner(key, C)
     params = jax.tree.map(
@@ -171,40 +173,3 @@ def test_fused_incremental_chain_interpret_matches_scan():
             incremental_chain_fused(p, feats0, image_rest, H_inc) * ct))(params)
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
-
-
-@pytest.mark.slow
-def test_fused_incremental_chain_tiling_and_padding(monkeypatch):
-    """Batch tiling: N not a multiple of the tile width exercises the
-    zero-sample padding branch and a multi-tile grid."""
-    from multi_view_stereonet_tpu.models.refiners import init_feature_refiner
-    from multi_view_stereonet_tpu.models.mvsnet import _incremental_scan
-    from multi_view_stereonet_tpu.ops.pallas import incremental_chain as ic
-    from multi_view_stereonet_tpu.geometry import (
-        create_plane_sweep_homographies, incremental_homographies)
-    from jax.experimental.pallas import tpu as pltpu
-
-    monkeypatch.setattr(ic, "MAX_TILE_N", 2)
-    key = jax.random.PRNGKey(3)
-    N, D, h4, w4, C = 3, 4, 16, 24, 32
-    params = init_feature_refiner(key, C)
-    feats0 = jax.random.normal(key, (N, h4, w4, C))
-    image_rest = jax.random.normal(jax.random.PRNGKey(4), (N, D - 1, h4, w4, 3))
-    K = jnp.tile(jnp.array([[[20.0, 0, w4 / 2], [0, 20, h4 / 2],
-                             [0, 0, 1]]]), (N, 1, 1))
-    T = jnp.tile(jnp.eye(4)[None], (N, 1, 1)).at[:, 0, 3].set(-1.0)
-    samples = jnp.tile(jnp.linspace(0.05, 0.6, D)[None], (N, 1))
-    H_inc = incremental_homographies(
-        create_plane_sweep_homographies(T, K, samples))
-
-    rest = _incremental_scan(params, feats0, image_rest, H_inc)
-    ref = jnp.concatenate([feats0[:, None], rest], axis=1)
-    try:
-        with pltpu.force_tpu_interpret_mode():
-            got = ic.incremental_chain_fused(params, feats0, image_rest, H_inc)
-    except Exception as e:
-        pytest.skip(f"pallas interpret mode unavailable: {e}")
-    assert got.shape == ref.shape
-    scale = float(jnp.abs(ref).max())
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
-                               atol=2e-5 * scale, rtol=2e-4)
