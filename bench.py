@@ -91,6 +91,60 @@ def main():
     fps_b1_bf16 = measure(1, 400)
     fps_b8_bf16 = measure(8, 60)
 
+    # Accuracy at the headline config: abs_rel on the synthetic plane
+    # scene (pretrained weights) vs the f32-exact mode, same protocol as
+    # scripts/accuracy_speed.py. Optional -- never fails the bench.
+    accuracy = {}
+    try:
+        import sys as _sys
+        import tempfile
+
+        _sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "tests"))
+        from synthetic_data import make_gta_sfm_tree
+        from multi_view_stereonet_tpu.data import (
+            GTASfMMultiViewDataset, BatchLoader, get_testing_transforms,
+        )
+
+        root = tempfile.mkdtemp(prefix="bench_acc_")
+        data_dir, split = make_gta_sfm_tree(root, rows=480, cols=640,
+                                            frames=3, num_sequences=1)
+        ds = GTASfMMultiViewDataset(
+            data_dir, split, 0, get_testing_transforms({"size": [480, 640]}),
+            load_groundtruth_depthmaps=True)
+        batch = next(iter(BatchLoader(ds, 2, shuffle=False, drop_last=False,
+                                      workers=2)))
+        batch.pop("left_filenames"); batch.pop("right_filenames")
+        jb = {k: jnp.asarray(v) for k, v in batch.items()}
+
+        def abs_rel(config):
+            fwd = make_forward(config)
+            inputs = multi_view_unpack_batch(jb)
+            idepth = np.asarray(jax.jit(fwd)(params, jb)) / np.asarray(
+                inputs["baseline"])[:, None, None]
+            rels = []
+            for i in range(idepth.shape[0]):
+                depth_true = batch["left_depthmap_true"][i]
+                est = np.where(idepth[i] > 0,
+                               1.0 / np.maximum(idepth[i], 1e-9), 0.0)
+                m = (depth_true > 0) & (depth_true < 1e3) & (est > 0) \
+                    & (est < 1e3)
+                rels.append(np.mean(np.abs(depth_true[m] - est[m])
+                                    / depth_true[m]))
+            return float(np.mean(rels))
+
+        r_default = abs_rel(MultiViewStereoNetConfig())
+        r_exact = abs_rel(MultiViewStereoNetConfig(
+            matmul_precision="highest"))
+        accuracy = {
+            "abs_rel_headline": round(r_default, 5),
+            "abs_rel_f32_exact": round(r_exact, 5),
+            "abs_rel_delta_pct": round(
+                100.0 * (r_default - r_exact) / max(r_exact, 1e-9), 3),
+        }
+    except Exception as e:  # pragma: no cover - accuracy row is optional
+        accuracy = {"accuracy_error": str(e)[:200]}
+
     result = {
         "metric": "depthmaps/sec single v5e chip (480x640, 12 hyps, batch 1)",
         "value": round(fps_b1, 1),
@@ -102,6 +156,7 @@ def main():
         "ms_per_frame_b1": round(1000.0 / fps_b1, 2),
         "device": str(jax.devices()[0]),
         "weights": "pretrained" if os.path.exists(PRETRAINED) else "random",
+        **accuracy,
     }
     print(json.dumps(result))
 

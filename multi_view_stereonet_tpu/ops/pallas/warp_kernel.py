@@ -85,9 +85,12 @@ def _warp_kernel(ybase_ref, xbase_ref, ix_ref, iy_ref, img_hbm, out_ref,
 
     dma.wait()
 
+    # Mosaic rejects Precision.HIGH ("Unsupported dot precision"), so
+    # "high" promotes to HIGHEST here -- strictly more precise, and the
+    # interpolation dots are a small share of the kernel.
     precision = {
         "highest": jax.lax.Precision.HIGHEST,
-        "high": jax.lax.Precision.HIGH,
+        "high": jax.lax.Precision.HIGHEST,
         "default": jax.lax.Precision.DEFAULT,
     }[exact]
 

@@ -61,12 +61,14 @@ def main():
 
     import tempfile
 
+    rows = int(os.environ.get("ACC_ROWS", 480))
+    cols = int(os.environ.get("ACC_COLS", 640))
     root = tempfile.mkdtemp(prefix="accspeed_")
-    data_dir, split = make_gta_sfm_tree(root, rows=480, cols=640,
+    data_dir, split = make_gta_sfm_tree(root, rows=rows, cols=cols,
                                         frames=4, num_sequences=2)
     params = load_any_params(PRETRAINED)
 
-    tf = get_testing_transforms({"size": [480, 640]})
+    tf = get_testing_transforms({"size": [rows, cols]})
     ds = GTASfMMultiViewDataset(data_dir, split, 0, tf,
                                 load_groundtruth_depthmaps=True)
     batches = []
@@ -85,17 +87,24 @@ def main():
     bench_batch = {k: jnp.asarray(v)
                    for k, v in _example_batch(1, 1, 480, 640).items()}
 
-    print(f"{'config':24s} {'abs_rel':>8s} {'ms_b1':>7s} {'dm/s':>6s}",
-          flush=True)
+    print(f"{'config':24s} {'abs_rel':>9s} {'max_dev%':>9s} "
+          f"{'ms_b1':>7s} {'dm/s':>6s}", flush=True)
     results = {}
+    ref_maps = {}  # batch idx -> idepth map of the bit-parity config
     for name in names:
         config = MultiViewStereoNetConfig(**CONFIGS[name])
         fwd = jax.jit(lambda b, c=config: forward(c, b))
 
-        rels = []
-        for b in batches:
+        rels, max_dev = [], 0.0
+        for bi, b in enumerate(batches):
             jb = {k: jnp.asarray(v) for k, v in b.items()}
             idepth = np.asarray(fwd(jb))
+            if name == "highest":
+                ref_maps[bi] = idepth
+            elif bi in ref_maps:
+                rng_ = ref_maps[bi].max() - ref_maps[bi].min()
+                max_dev = max(max_dev, float(
+                    np.abs(idepth - ref_maps[bi]).max() / rng_ * 100.0))
             for i in range(idepth.shape[0]):
                 depth_true = b["left_depthmap_true"][i]
                 est = np.where(idepth[i] > 0,
@@ -122,15 +131,15 @@ def main():
             times.append(time.perf_counter() - t0)
         ms = min(times) / 50 * 1000.0
         results[name] = (abs_rel, ms)
-        print(f"{name:24s} {abs_rel:8.4f} {ms:7.2f} {1000.0/ms:6.1f}",
-              flush=True)
+        print(f"{name:24s} {abs_rel:9.5f} {max_dev:9.3f} {ms:7.2f} "
+              f"{1000.0/ms:6.1f}", flush=True)
 
     if "highest" in results:
         ref = results["highest"][0]
-        print(f"\nreference abs_rel (bit-parity mode): {ref:.4f}")
+        print(f"\nreference abs_rel (bit-parity mode): {ref:.5f}")
         for name, (r, ms) in results.items():
-            print(f"{name:24s} delta={100.0 * (r - ref) / ref:+6.2f}%  "
-                  f"{1000.0/ms:6.1f} dm/s", flush=True)
+            print(f"{name:24s} abs_rel_delta={100.0 * (r - ref) / ref:+7.3f}%"
+                  f"  {1000.0/ms:6.1f} dm/s", flush=True)
 
 
 if __name__ == "__main__":
