@@ -112,15 +112,30 @@ def disparity_to_idepth(K: jnp.ndarray, T_right_in_left: jnp.ndarray,
 
     disp = left_disparity.reshape(B, N)
 
+    # The K=3 contractions below are written as unrolled broadcast
+    # arithmetic (same f32 product/accumulation order as a matmul row)
+    # rather than einsums: at the tiny shapes this runs on (the level-4
+    # grid), each einsum is a separate latency-bound kernel, while the
+    # unrolled form lets XLA fuse the whole pixel computation into one.
+    def _mat_pix(M, px, py, s=1.0):  # (B,3,3) x [px, py, s*ones] -> 3x(B,N)
+        return tuple(
+            (M[:, i, 0:1] * px + M[:, i, 1:2] * py) + M[:, i, 2:3] * s
+            for i in range(3))
+
+    px, py = pix[0], pix[1]  # (N,)
+
     # Pixels at infinite depth.
-    pix_inf = jnp.einsum("bij,jn->bin", KRKinv, pix, precision="highest")  # (B,3,N)
-    pix_inf = pix_inf / pix_inf[:, 2:3, :]
+    inf0, inf1, inf2 = _mat_pix(KRKinv, px, py)
+    pix_inf = jnp.stack([inf0 / inf2, inf1 / inf2], axis=1)  # (B,2,N)
 
     # Far point (depth 1e2) to orient the epipolar line far -> near.
-    pix_far = jnp.einsum("bij,jn->bin", KRKinv, pix * 1e2, precision="highest") + Kt[:, :, None]
-    pix_far = pix_far / pix_far[:, 2:3, :]
+    far0, far1, far2 = _mat_pix(KRKinv, px * 1e2, py * 1e2, 1e2)
+    far0 = far0 + Kt[:, 0:1]
+    far1 = far1 + Kt[:, 1:2]
+    far2 = far2 + Kt[:, 2:3]
+    pix_far = jnp.stack([far0 / far2, far1 / far2], axis=1)  # (B,2,N)
 
-    epi_diff = pix_far[:, :2, :] - pix_inf[:, :2, :]
+    epi_diff = pix_far - pix_inf  # (B,2,N)
     epi_norm = jnp.sqrt(jnp.sum(epi_diff**2, axis=1))  # (B,N)
     epiline = epi_diff / (epi_norm[:, None, :] + 1e-6)
 

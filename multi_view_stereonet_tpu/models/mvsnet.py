@@ -73,7 +73,25 @@ class MultiViewStereoNetConfig:
     # Run the incremental warp+refine chain as one Pallas kernel
     # (ops/pallas/incremental_chain.py). TPU-only, default matmul
     # precision only; auto-falls-back to the lax.scan otherwise.
-    use_fused_incremental: bool = True
+    # Off by default: two independent in-situ A/Bs (scripts/
+    # profile_routing.py, v5e, b1) measured the scan 1.3-1.4% faster for
+    # the whole forward (5.484 vs 5.560 ms; previous session 5.373 vs
+    # 5.446) -- XLA's batched scan now edges out the serialized kernel
+    # grid at V=1. The kernel remains available for configs where it
+    # wins (it measured ahead at round 1's layout; keep re-measuring
+    # after structural changes).
+    use_fused_incremental: bool = False
+    # Run the small-level idepthmap refiners (levels 4+3) as one
+    # whole-module Pallas kernel (ops/pallas/refiner_kernel.py).
+    # TPU-only, default matmul precision only, requires use_s2d_refiners;
+    # auto-falls-back otherwise. Off by default: in situ the kernel LOSES
+    # ~0.5 ms/frame (6.08 vs 5.54 ms, v5e b1, two runs) even though it
+    # matches the XLA path standalone -- the pallas_call boundary stops
+    # XLA fusing the guidance concat into conv0 and forces s2d relayout
+    # materialization around the call, costing more than the dispatch it
+    # saves. Kept as a measured capability (see its interpret-mode
+    # parity tests).
+    use_fused_small_refiners: bool = False
     # Conv/feature compute dtype ("float32" or "bfloat16"). Geometry, warp
     # grids, soft-argmin and idepth residual adds always stay float32; in
     # bfloat16 mode only feature extraction, cost filtering and refiner
@@ -237,10 +255,23 @@ def incremental_right_features(params, T_right_in_left, K0, K4,
 
 
 def _refine_level(params, name, guidance, idepth_prior, fx, use_s2d=False,
-                  compute_dtype=jnp.float32, remat=False):
+                  compute_dtype=jnp.float32, remat=False, use_fused=False):
     """fx idepth-scaling trick around a refiner (:605-613 etc.)."""
     scale = fx[:, None, None]
-    H, W = guidance.shape[1], guidance.shape[2]
+    B, H, W = guidance.shape[0], guidance.shape[1], guidance.shape[2]
+    if (use_fused and use_s2d and jax.default_backend() == "tpu"):
+        from ..ops.pallas.refiner_kernel import (
+            fused_refiner_supported, idepthmap_refiner_fused)
+        if fused_refiner_supported(H, W, B):
+            # Whole-module Pallas kernel for the dispatch-bound small
+            # levels (ops/pallas/refiner_kernel.py); larger levels and
+            # non-TPU backends keep the XLA s2d path.
+            refine = functools.partial(idepthmap_refiner_fused,
+                                       compute_dtype=compute_dtype)
+            if remat:
+                refine = jax.checkpoint(refine)
+            scaled = refine(params[name], guidance, idepth_prior * scale)
+            return scaled / scale
     refine = (idepthmap_refiner_s2d
               if use_s2d and H % 2 == 0 and W % 2 == 0
               else idepthmap_refiner)
@@ -287,6 +318,11 @@ def _forward_impl(params, left_image_pyr, K_pyr, T_right_in_lefts,
     do_refiners = tuple(config.do_refiners)
     cdt = jnp.dtype(config.compute_dtype)
     stage_prec = dict(config.stage_precision)
+    # Fused refiner kernel only at DEFAULT ambient precision (its dots
+    # would ignore a "refiners" stage override / non-default ambient).
+    fused_refiners = (config.use_fused_small_refiners
+                      and config.matmul_precision == "default"
+                      and stage_prec.get("refiners") is None)
 
     def prec(stage):
         p = stage_prec.get(stage)
@@ -383,7 +419,8 @@ def _forward_impl(params, left_image_pyr, K_pyr, T_right_in_lefts,
             idepth4 = _refine_level(params, "refiner4", guidance4_bv,
                                     idepth4_raw, K4_bv[:, 0, 0],
                                     config.use_s2d_refiners, cdt,
-                                    remat=config.remat_refiners)
+                                    remat=config.remat_refiners,
+                                    use_fused=fused_refiners)
         idepth4_raw = idepth4_raw / b_hw
         idepth4 = idepth4 / b_hw
     else:
@@ -426,7 +463,8 @@ def _forward_impl(params, left_image_pyr, K_pyr, T_right_in_lefts,
                 idepth_lvl = _refine_level(params, f"refiner{lvl}", guidance,
                                            prior, K_pyr[lvl][:, 0, 0],
                                            config.use_s2d_refiners, cdt,
-                                           remat=config.remat_refiners)
+                                           remat=config.remat_refiners,
+                                           use_fused=fused_refiners)
         else:
             idepth_lvl = prior
 

@@ -28,6 +28,10 @@ training/eval resolution); callers fall back to the plain path otherwise.
 
 from __future__ import annotations
 
+import functools
+
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -56,14 +60,20 @@ def depth_to_space(x: jnp.ndarray) -> jnp.ndarray:
     return x.reshape(*lead, Hs * 2, Ws * 2, C)
 
 
-def s2d_kernel(w: jnp.ndarray, dilation: int) -> tuple:
-    """Transform a 3x3 HWIO kernel to its S2D equivalent.
+@functools.lru_cache(maxsize=32)
+def _s2d_index(dilation: int):
+    """Constant gather indices for the S2D kernel transform.
 
-    w: (3, 3, Cin, Cout). Returns (w_s2d (3, 3, 4*Cin, 4*Cout), s2d_dilation).
+    Returns (KH, KW, V, d2): int arrays (3, 3, 4, 4) indexed
+    [khp, kwp, pin, pout] giving the unique source tap (kh, kw) of each
+    transformed-kernel entry (at most one exists per entry -- the 1-D
+    offset ai = di + (kh-1)*d determines kh from (si, pi) uniquely), V a
+    bool validity mask for entries with no source tap.
     """
-    Cin, Cout = w.shape[2], w.shape[3]
     d2 = max(dilation // 2, 1)
-    out = jnp.zeros((3, 3, 4, Cin, 4, Cout), dtype=w.dtype)
+    KH = np.zeros((3, 3, 4, 4), np.int32)
+    KW = np.zeros((3, 3, 4, 4), np.int32)
+    V = np.zeros((3, 3, 4, 4), bool)
     for di in range(2):
         for dj in range(2):
             for kh in range(3):
@@ -75,9 +85,47 @@ def s2d_kernel(w: jnp.ndarray, dilation: int) -> tuple:
                     assert si % d2 == 0 and sj % d2 == 0, (dilation, kh, di)
                     khp = si // d2 + 1
                     kwp = sj // d2 + 1
-                    out = out.at[khp, kwp, pi * 2 + pj, :, di * 2 + dj, :].set(
-                        w[kh, kw])
-    return out.reshape(3, 3, 4 * Cin, 4 * Cout), d2
+                    pin, pout = pi * 2 + pj, di * 2 + dj
+                    KH[khp, kwp, pin, pout] = kh
+                    KW[khp, kwp, pin, pout] = kw
+                    V[khp, kwp, pin, pout] = True
+    return KH, KW, V, d2
+
+
+def s2d_kernel(w: jnp.ndarray, dilation: int) -> tuple:
+    """Transform a 3x3 HWIO kernel to its S2D equivalent.
+
+    w: (3, 3, Cin, Cout). Returns (w_s2d (3, 3, 4*Cin, 4*Cout), s2d_dilation).
+
+    One gather + mask (bit-exact): the transform used to be 36 sequential
+    ``.at[].set`` updates, which at serving time is ~37 dispatch-bound XLA
+    ops *per conv per forward* -- measured ~0.3 ms of pure weight-repack
+    dispatch across a refiner's 8 convs on v5e.
+    """
+    Cin, Cout = w.shape[2], w.shape[3]
+    KH, KW, V, d2 = _s2d_index(dilation)
+    g = w[KH, KW]                                  # (3, 3, 4, 4, Cin, Cout)
+    g = jnp.where(jnp.asarray(V)[..., None, None], g,
+                  jnp.zeros((), w.dtype))
+    g = jnp.transpose(g, (0, 1, 2, 4, 3, 5))       # (3,3,pin,Cin,pout,Cout)
+    return g.reshape(3, 3, 4 * Cin, 4 * Cout), d2
+
+
+@functools.lru_cache(maxsize=1)
+def _s2d_stride2_index():
+    KH = np.zeros((3, 3, 4), np.int32)
+    KW = np.zeros((3, 3, 4), np.int32)
+    V = np.zeros((3, 3, 4), bool)
+    for kh in range(5):
+        a = kh - 2
+        si, pi = a >> 1, a & 1
+        for kw in range(5):
+            b = kw - 2
+            sj, pj = b >> 1, b & 1
+            KH[si + 1, sj + 1, pi * 2 + pj] = kh
+            KW[si + 1, sj + 1, pi * 2 + pj] = kw
+            V[si + 1, sj + 1, pi * 2 + pj] = True
+    return KH, KW, V
 
 
 def s2d_kernel_stride2(w: jnp.ndarray) -> jnp.ndarray:
@@ -89,18 +137,14 @@ def s2d_kernel_stride2(w: jnp.ndarray) -> jnp.ndarray:
     which in S2D coordinates are rows i-1..i+1 at parity (offset & 1); the
     unused (row +1, parity 1) taps stay zero. Padding matches exactly
     (S2D pad 1 zero-fills original rows -2,-1 and H,H+1 -- the same rows
-    torch pad 2 would).
+    torch pad 2 would). One gather + mask, as in ``s2d_kernel``.
     """
     Cin, Cout = w.shape[2], w.shape[3]
-    out = jnp.zeros((3, 3, 4, Cin, Cout), dtype=w.dtype)
-    for kh in range(5):
-        a = kh - 2
-        si, pi = a >> 1, a & 1
-        for kw in range(5):
-            b = kw - 2
-            sj, pj = b >> 1, b & 1
-            out = out.at[si + 1, sj + 1, pi * 2 + pj].set(w[kh, kw])
-    return out.reshape(3, 3, 4 * Cin, Cout)
+    KH, KW, V = _s2d_stride2_index()
+    g = w[KH, KW]                                  # (3, 3, 4, Cin, Cout)
+    g = jnp.where(jnp.asarray(V)[..., None, None], g,
+                  jnp.zeros((), w.dtype))
+    return g.reshape(3, 3, 4 * Cin, Cout)
 
 
 def conv2d_stride2_s2d(params, x: jnp.ndarray) -> jnp.ndarray:
@@ -154,8 +198,13 @@ def conv3d_s2d(params, x: jnp.ndarray) -> jnp.ndarray:
     (measured 0.21 -> 0.14 ms for the 4-layer filter on v5e).
     """
     w = params["w"].astype(x.dtype)
-    w_s2d = jnp.stack([s2d_kernel(w[kd], 1)[0] for kd in range(w.shape[0])],
-                      axis=0)  # (3, 3, 3, 4Cin, 4Cout)
+    KH, KW, V, _ = _s2d_index(1)
+    g = w[:, KH, KW]                         # (3, 3, 3, 4, 4, Cin, Cout)
+    g = jnp.where(jnp.asarray(V)[..., None, None], g,
+                  jnp.zeros((), w.dtype))
+    g = jnp.transpose(g, (0, 1, 2, 3, 5, 4, 6))
+    Cin, Cout = w.shape[3], w.shape[4]
+    w_s2d = g.reshape(3, 3, 3, 4 * Cin, 4 * Cout)
     out = jax.lax.conv_general_dilated(
         x, w_s2d,
         window_strides=(1, 1, 1),

@@ -69,7 +69,16 @@ def _apply_separable(x: jnp.ndarray, Mh: np.ndarray, Mw: np.ndarray) -> jnp.ndar
 
 
 def resize_bilinear(x: jnp.ndarray, out_size) -> jnp.ndarray:
-    """Bilinear resize (align_corners=False), NHWC or NHW input."""
+    """Bilinear resize (align_corners=False), NHWC or NHW input.
+
+    Formulation note (measured on v5e, scripts/profile_micro.py): the
+    separable `highest`-precision einsum beats every elementwise
+    rewriting tried for the 2x up/down special cases -- stride-2
+    lane-dim slicing costs relayouts (0.47 ms vs 0.20 ms for a 4-level
+    480x640 pyramid), reshape-add is 12x worse, and the two-tap
+    interleave upsample is ~10% slower than the matrix form. Keep the
+    matmuls.
+    """
     rows, cols = out_size
     h_axis = 1
     return _apply_separable(

@@ -173,3 +173,43 @@ def test_fused_incremental_chain_interpret_matches_scan(N):
             incremental_chain_fused(p, feats0, image_rest, H_inc) * ct))(params)
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("cg,size,B", [(35, (30, 40), 1), (3, (16, 24), 2),
+                                       (35, (60, 80), 1)])
+def test_fused_refiner_interpret_matches_s2d(params, cg, size, B):
+    """ops/pallas/refiner_kernel.py vs the XLA s2d refiner, via the
+    Pallas interpreter: forward values and parameter VJP. Covers the
+    feature-guided shape (cg=35, levels 4..2 geometry) and the image-only
+    shape (cg=3), plus B>1 grid serialization."""
+    from multi_view_stereonet_tpu.ops.pallas.refiner_kernel import (
+        idepthmap_refiner_fused, fused_refiner_supported)
+    from jax.experimental.pallas import tpu as pltpu
+
+    H, W = size
+    assert fused_refiner_supported(H, W, B)
+    name = "refiner4" if cg == 35 else "refiner0"
+    rng = np.random.default_rng(11)
+    g = jnp.asarray(rng.uniform(-1, 1, (B, H, W, cg)).astype(np.float32))
+    idp = jnp.asarray(rng.uniform(0, 2, (B, H, W)).astype(np.float32))
+
+    ref = idepthmap_refiner_s2d(params[name], g, idp)
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            got = idepthmap_refiner_fused(params[name], g, idp)
+    except Exception as e:  # interpreter support varies across jax versions
+        pytest.skip(f"pallas interpret mode unavailable: {e}")
+    scale = float(jnp.abs(ref).max())
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5 * scale, rtol=2e-4)
+
+    # Parameter VJP must be bitwise the XLA s2d path's (custom_vjp).
+    ct = jnp.asarray(rng.normal(size=ref.shape).astype(np.float32))
+    g1 = jax.grad(lambda p: jnp.sum(
+        idepthmap_refiner_s2d(p, g, idp) * ct))(params[name])
+    with pltpu.force_tpu_interpret_mode():
+        g2 = jax.grad(lambda p: jnp.sum(
+            idepthmap_refiner_fused(p, g, idp) * ct))(params[name])
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
