@@ -1,0 +1,209 @@
+#!/usr/bin/env python
+"""Kernel-level breakdown of the flagship forward from a profiler trace.
+
+Captures a jax.profiler trace of the jitted forward (no device-side
+loop -- each dispatched kernel shows up individually) and aggregates
+XLA-op durations from the xplane proto, parsed with a minimal built-in
+protobuf reader (the installed tensorboard profile plugin's converter is
+incompatible with the env's TF/protobuf). This is the ground-truth
+attribution: scripts/profile_ablate.py's config-toggle diffs overstate
+small stages (toggling changes fusion around them -- docs/PARITY.md).
+"""
+
+import argparse
+import collections
+import glob
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+# ---- minimal protobuf wire-format reader (xplane.proto subset) ----
+
+def _fields(buf):
+    """Yield (field_no, wire_type, value) from a serialized message."""
+    i, n = 0, len(buf)
+    while i < n:
+        tag = 0
+        shift = 0
+        while True:
+            b = buf[i]
+            i += 1
+            tag |= (b & 0x7F) << shift
+            shift += 7
+            if not b & 0x80:
+                break
+        field, wt = tag >> 3, tag & 7
+        if wt == 0:  # varint
+            v = 0
+            shift = 0
+            while True:
+                b = buf[i]
+                i += 1
+                v |= (b & 0x7F) << shift
+                shift += 7
+                if not b & 0x80:
+                    break
+            yield field, wt, v
+        elif wt == 2:  # length-delimited
+            ln = 0
+            shift = 0
+            while True:
+                b = buf[i]
+                i += 1
+                ln |= (b & 0x7F) << shift
+                shift += 7
+                if not b & 0x80:
+                    break
+            yield field, wt, buf[i:i + ln]
+            i += ln
+        elif wt == 5:  # 32-bit
+            yield field, wt, buf[i:i + 4]
+            i += 4
+        elif wt == 1:  # 64-bit
+            yield field, wt, buf[i:i + 8]
+            i += 8
+        else:
+            raise ValueError(f"wire type {wt}")
+
+
+def parse_xspace(buf):
+    """XSpace -> [(plane_name, {line_name: [(ev_name, duration_ps)]})]."""
+    planes = []
+    for f, wt, v in _fields(buf):
+        if f != 1:
+            continue
+        name = ""
+        lines = []
+        ev_names = {}
+        for pf, pwt, pv in _fields(v):
+            if pf == 2:
+                name = pv.decode("utf-8", "replace")
+            elif pf == 3:
+                lines.append(pv)
+            elif pf == 4:  # map<int64, XEventMetadata>
+                mid, meta = None, None
+                for mf, mwt, mv in _fields(pv):
+                    if mf == 1:
+                        mid = mv
+                    elif mf == 2:
+                        meta = mv
+                if mid is not None and meta is not None:
+                    mname = ""
+                    for ef, ewt, ev in _fields(meta):
+                        if ef == 2:
+                            mname = ev.decode("utf-8", "replace")
+                    ev_names[mid] = mname
+        parsed_lines = {}
+        for lbuf in lines:
+            lname = ""
+            events = []
+            for lf, lwt, lv in _fields(lbuf):
+                if lf == 2:
+                    lname = lv.decode("utf-8", "replace")
+                elif lf == 4:
+                    mid, dur = 0, 0
+                    for ef, ewt, ev in _fields(lv):
+                        if ef == 1:
+                            mid = ev
+                        elif ef == 3:
+                            dur = ev
+                    events.append((ev_names.get(mid, str(mid)), dur))
+            parsed_lines.setdefault(lname, []).extend(events)
+        planes.append((name, parsed_lines))
+    return planes
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--dtype", default="float32")
+    ap.add_argument("--top", type=int, default=40)
+    ap.add_argument("--iters", type=int, default=6)
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from multi_view_stereonet_tpu.models import (
+        MultiViewStereoNetConfig, mvsnet_forward, init_mvsnet,
+    )
+    from multi_view_stereonet_tpu.train.pipeline import multi_view_unpack_batch
+    from __graft_entry__ import _example_batch
+
+    params = init_mvsnet(jax.random.PRNGKey(0))
+    batch = jax.tree.map(jnp.asarray,
+                         _example_batch(B=args.batch, V=1, H=480, W=640))
+    config = MultiViewStereoNetConfig(compute_dtype=args.dtype)
+
+    @jax.jit
+    def step(params, batch, t):
+        inputs = multi_view_unpack_batch(batch)
+        left = inputs["left_image_pyr"]
+        left = [left[0] + t] + list(left[1:])
+        out = mvsnet_forward(params, left, inputs["K_pyr"],
+                             inputs["T_right_in_left"],
+                             inputs["right_image_pyr"], config)
+        return jnp.sum(out["left_idepthmap_pyr"][0])
+
+    float(step(params, batch, jnp.float32(0.0)))  # compile + warm
+
+    tracedir = tempfile.mkdtemp(prefix="trace_")
+    with jax.profiler.trace(tracedir):
+        for i in range(args.iters):
+            float(step(params, batch, jnp.float32(i) * 1e-9))
+
+    xplanes = glob.glob(os.path.join(tracedir, "**", "*.xplane.pb"),
+                        recursive=True)
+    if not xplanes:
+        print("no xplane captured in", tracedir)
+        return
+
+    with open(xplanes[0], "rb") as f:
+        planes = parse_xspace(f.read())
+
+    per_op = collections.Counter()
+    for pname, lines in planes:
+        if "TPU" not in pname:
+            continue
+        for lname, events in lines.items():
+            if lname != "XLA Ops":
+                continue
+            for name, dur in events:
+                per_op[name] += dur
+
+    if not per_op:
+        print("no 'XLA Ops' line; planes/lines found:")
+        for pname, lines in planes:
+            print(" ", pname, "->", list(lines))
+        return
+
+    n = args.iters
+    total_ps = sum(per_op.values())
+    print(f"total device time {total_ps / 1e9 / n:.3f} ms/iter over "
+          f"{len(per_op)} distinct ops\n")
+
+    def bucket(name):
+        base = name.split(".")[0].rstrip("0123456789_")
+        return base
+
+    agg = collections.Counter()
+    for name, ps in per_op.items():
+        agg[bucket(name)] += ps
+    print("by op kind (ms/iter):")
+    for k, ps in agg.most_common(25):
+        print(f"  {k:28s} {ps / 1e9 / n:8.3f}")
+
+    print(f"\ntop {args.top} ops (ms/iter):")
+    for name, ps in per_op.most_common(args.top):
+        print(f"  {ps / 1e9 / n:8.3f}  {name[:110]}")
+
+
+if __name__ == "__main__":
+    main()
