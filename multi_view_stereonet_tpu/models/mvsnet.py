@@ -149,6 +149,10 @@ def min_idepth_warp(T_right_in_left, K0, right_image0, idepth_samples,
     """Full-res right image warped by the min-idepth homography (:254-258)."""
     H_min = create_plane_sweep_homographies(T_right_in_left, K0,
                                             idepth_samples[:, :1])
+    # NOTE: warping a bf16 image here (to halve band-DMA traffic and the
+    # f32->bf16 relayout after the kernel) was A/B'd on v5e and LOSES
+    # ~0.16 ms/frame in situ -- the standalone f32<->bf16 converts it
+    # adds around the kernel cost more than the DMA they save.
     warped0, _ = homography_warp_auto(right_image0, H_min[:, 0],
                                       zero_invalid=True,
                                       precision=warp_precision)

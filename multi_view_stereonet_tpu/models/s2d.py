@@ -169,6 +169,70 @@ def conv2d_stride2_s2d(params, x: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
+@functools.lru_cache(maxsize=1)
+def _s2d_pack_index():
+    """Constant indices folding the input s2d pack into a 3x3 conv.
+
+    Entry [a, b, po] gives the source tap (kh, kw) of the 4x4 stride-2
+    kernel that emits s2d output position po = do*2+dd: row offset
+    u = do + kh - 1 spans {-1..2} -> a = u + 1, and (do, a) determine kh
+    uniquely. Entries outside kh/kw in [0, 3) have no source (V False).
+    """
+    KH = np.zeros((4, 4, 4), np.int32)
+    KW = np.zeros((4, 4, 4), np.int32)
+    V = np.zeros((4, 4, 4), bool)
+    for do in range(2):
+        for dd in range(2):
+            po = do * 2 + dd
+            for kh in range(3):
+                for kw in range(3):
+                    KH[do + kh, dd + kw, po] = kh
+                    KW[do + kh, dd + kw, po] = kw
+                    V[do + kh, dd + kw, po] = True
+    return KH, KW, V
+
+
+def s2d_kernel_packing(w: jnp.ndarray) -> jnp.ndarray:
+    """Fold the input space-to-depth pack into a 3x3 HWIO kernel.
+
+    w: (3, 3, Cin, Cout) -> (4, 4, Cin, 4*Cout). The composite op
+    ``conv2d_s2d(w, space_to_depth(x))`` equals a 4x4 stride-2 conv with
+    padding ((1, 2), (1, 2)) applied to the ORIGINAL (B, H, W, Cin)
+    tensor: out_s2d[i, j, po*Cout+co] = conv3x3(x)[2i+do, 2j+dd, co].
+    This removes the packed activation entirely -- the full-res s2d
+    reshape+transpose measured ~0.7 ms/frame of pure relayout for
+    refiner0's 480x640 guidance on v5e (trace, scripts/profile_trace.py)
+    while the folded conv reads the original layout directly.
+    """
+    Cin, Cout = w.shape[2], w.shape[3]
+    KH, KW, V = _s2d_pack_index()
+    g = w[KH, KW]                                  # (4, 4, 4, Cin, Cout)
+    g = jnp.where(jnp.asarray(V)[..., None, None], g,
+                  jnp.zeros((), w.dtype))
+    g = jnp.transpose(g, (0, 1, 3, 2, 4))          # (4, 4, Cin, pout, Cout)
+    return g.reshape(4, 4, Cin, 4 * Cout)
+
+
+def conv2d_s2d_packing(params, x: jnp.ndarray) -> jnp.ndarray:
+    """3x3 'same' conv from ORIGINAL layout straight into s2d layout.
+
+    params: plain conv params (w (3,3,Cin,Cout) [+ b]); x: (B, H, W, Cin)
+    with even H, W. Returns (B, H/2, W/2, 4*Cout) in s2d channel order --
+    bit-exact with ``conv2d_s2d(params, space_to_depth(x))`` up to f32
+    summation order, without materializing the packed input.
+    """
+    w = s2d_kernel_packing(params["w"].astype(x.dtype))
+    out = jax.lax.conv_general_dilated(
+        x, w,
+        window_strides=(2, 2),
+        padding=((1, 2), (1, 2)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if "b" in params:
+        out = out + jnp.tile(params["b"], 4).astype(x.dtype)
+    return out
+
+
 def conv2d_s2d(params, x: jnp.ndarray, dilation: int = 1) -> jnp.ndarray:
     """Apply an original-space 3x3 conv to an S2D tensor, staying in S2D.
 
@@ -274,8 +338,8 @@ def idepthmap_refiner_s2d(params, guidance: jnp.ndarray, idepthmap: jnp.ndarray,
     dt = compute_dtype or idepthmap.dtype
     x = jnp.concatenate(
         [guidance.astype(dt), idepthmap[..., None].astype(dt)], axis=-1)
-    x = space_to_depth(x)
-    x = leaky_relu(group_norm_s2d(params["gn0"], conv2d_s2d(params["conv0"], x), 4))
+    x = leaky_relu(group_norm_s2d(params["gn0"],
+                                  conv2d_s2d_packing(params["conv0"], x), 4))
     for i in range(6):
         x = resnet_block_s2d(params[f"res{i}"], x, DILATIONS[i])
     delta = conv2d_s2d(params["conv_final"], x)

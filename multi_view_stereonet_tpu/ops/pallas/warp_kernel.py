@@ -95,7 +95,9 @@ def _warp_kernel(ybase_ref, xbase_ref, ix_ref, iy_ref, img_hbm, out_ref,
     }[exact]
 
     # x-interp: (n, Kx) x (C*K, Kx)^T -> (n, C*K), lane index = c*K + k.
-    band2d = band[:].reshape(C * BAND_K, BAND_KX)
+    # The f32 cast is free in DEFAULT mode (the MXU truncates to bf16
+    # again) and keeps Mosaic off mixed-dtype dots for bf16 images.
+    band2d = band[:].reshape(C * BAND_K, BAND_KX).astype(jnp.float32)
     xi = jax.lax.dot_general(
         Wx, band2d, (((1,), (1,)), ((), ())),
         precision=precision,
@@ -212,7 +214,9 @@ def _resample_value(image, grid, exact):
         return _pallas_resample(image, ix, iy, ybase, xbase, exact=exact)
 
     def slow(_):
-        return grid_sample(image, grid)[0]
+        # grid_sample's f32 interpolation weights promote bf16 images to
+        # f32; match the fast branch's output dtype for the cond.
+        return grid_sample(image, grid)[0].astype(image.dtype)
 
     return jax.lax.cond(fits, fast, slow, None)
 

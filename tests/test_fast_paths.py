@@ -25,6 +25,22 @@ def test_s2d_roundtrip():
                                   np.asarray(x))
 
 
+@pytest.mark.parametrize("cin", [4, 36])
+def test_conv2d_s2d_packing_exact(cin):
+    """The 4x4/stride-2 folded conv == s2d pack + 3x3 s2d conv."""
+    from multi_view_stereonet_tpu.models.s2d import (
+        conv2d_s2d, conv2d_s2d_packing)
+    from multi_view_stereonet_tpu.models.layers import init_conv2d
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(2, 16, 24, cin)).astype(np.float32))
+    p = init_conv2d(jax.random.PRNGKey(3), 3, 3, cin, 32, bias=True)
+    ref = conv2d_s2d(p, space_to_depth(x))
+    out = conv2d_s2d_packing(p, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=0, atol=2e-6)
+
+
 @pytest.mark.parametrize("size", [(64, 80), (30, 40)])
 def test_s2d_refiner_exact(params, size):
     rng = np.random.default_rng(1)
