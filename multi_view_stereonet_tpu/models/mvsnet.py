@@ -97,6 +97,15 @@ class MultiViewStereoNetConfig:
     # bfloat16 mode only feature extraction, cost filtering and refiner
     # conv pipelines run at reduced precision.
     compute_dtype: str = "float32"
+    # Storage dtype for the idepthmap-refiner conv pipelines (the HBM-
+    # bound bulk of the forward). "auto": bfloat16 when running on TPU at
+    # DEFAULT matmul precision with no "refiners" stage override --
+    # DEFAULT already truncates every conv input to bf16 there, so
+    # storing the activations in bf16 only adds one output rounding per
+    # conv while halving refiner HBM traffic; everywhere else (CPU,
+    # "high"/"highest" parity modes) it follows compute_dtype, keeping
+    # golden parity exact. "float32"/"bfloat16" force a dtype.
+    refiner_dtype: str = "auto"
     # Matmul/conv precision ladder (measured at 480x640/12 hyps, v5e):
     #   "default": bf16 MXU passes -- 185 dm/s, max ~0.6%-of-range output
     #              deviation from the f32 reference;
@@ -149,10 +158,12 @@ def min_idepth_warp(T_right_in_left, K0, right_image0, idepth_samples,
     """Full-res right image warped by the min-idepth homography (:254-258)."""
     H_min = create_plane_sweep_homographies(T_right_in_left, K0,
                                             idepth_samples[:, :1])
-    # NOTE: warping a bf16 image here (to halve band-DMA traffic and the
-    # f32->bf16 relayout after the kernel) was A/B'd on v5e and LOSES
-    # ~0.16 ms/frame in situ -- the standalone f32<->bf16 converts it
-    # adds around the kernel cost more than the DMA they save.
+    # NOTE: two attacks on the relayout copy after this warp were A/B'd
+    # on v5e and both LOSE in situ: a bf16 image (halved band DMA) costs
+    # +0.16 ms in standalone converts around the kernel, and planar
+    # (B, C, H, W) kernel output (ops/pallas/warp_kernel.py planar=True)
+    # costs +0.24 ms because the per-channel VPU lane-segment sums it
+    # needs are slower than the MXU S-matmul plus the copy it removes.
     warped0, _ = homography_warp_auto(right_image0, H_min[:, 0],
                                       zero_invalid=True,
                                       precision=warp_precision)
@@ -333,6 +344,16 @@ def _forward_impl(params, left_image_pyr, K_pyr, T_right_in_lefts,
         return (jax.default_matmul_precision(p) if p
                 else contextlib.nullcontext())
 
+    # Refiner storage dtype policy (see the config field's docstring).
+    if config.refiner_dtype == "auto":
+        rdt = (jnp.dtype(jnp.bfloat16)
+               if (jax.default_backend() == "tpu"
+                   and config.matmul_precision == "default"
+                   and stage_prec.get("refiners") is None)
+               else cdt)
+    else:
+        rdt = jnp.dtype(config.refiner_dtype)
+
     B, V = T_right_in_lefts.shape[0], T_right_in_lefts.shape[1]
     h4, w4 = left_image_pyr[4].shape[1], left_image_pyr[4].shape[2]
 
@@ -422,7 +443,7 @@ def _forward_impl(params, left_image_pyr, K_pyr, T_right_in_lefts,
         with prec("refiners"):
             idepth4 = _refine_level(params, "refiner4", guidance4_bv,
                                     idepth4_raw, K4_bv[:, 0, 0],
-                                    config.use_s2d_refiners, cdt,
+                                    config.use_s2d_refiners, rdt,
                                     remat=config.remat_refiners,
                                     use_fused=fused_refiners)
         idepth4_raw = idepth4_raw / b_hw
@@ -466,7 +487,7 @@ def _forward_impl(params, left_image_pyr, K_pyr, T_right_in_lefts,
             with prec("refiners"):
                 idepth_lvl = _refine_level(params, f"refiner{lvl}", guidance,
                                            prior, K_pyr[lvl][:, 0, 0],
-                                           config.use_s2d_refiners, cdt,
+                                           config.use_s2d_refiners, rdt,
                                            remat=config.remat_refiners,
                                            use_fused=fused_refiners)
         else:

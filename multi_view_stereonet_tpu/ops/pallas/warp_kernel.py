@@ -36,7 +36,7 @@ BAND_KX = 384   # source cols in band (128-aligned base + slack)
 
 
 def _warp_kernel(ybase_ref, xbase_ref, ix_ref, iy_ref, img_hbm, out_ref,
-                 band, sem, *, C: int, exact: str):
+                 band, sem, *, C: int, exact: str, planar: bool):
     # img_hbm is channels-first (B, C, H, W) so the band lands as
     # (C, BAND_K, BAND_KX) and every reshape below only merges/splits
     # leading dims (lane dim stays BAND_KX / C*K -- Mosaic-friendly).
@@ -115,12 +115,24 @@ def _warp_kernel(ybase_ref, xbase_ref, ix_ref, iy_ref, img_hbm, out_ref,
                + jnp.where(k_idx == y0f + 1.0, wy3, 0.0))
     else:
         Wy3 = jax.nn.relu(1.0 - jnp.abs(k_idx - iy[..., None]))
-    prod = (xi3 * Wy3).reshape(n, C * BAND_K)
-
+    if planar:
+        # Emit (C, TILE_R, TILE_C): per-channel K-lane reductions on the
+        # VPU (bit-equal to the S matmul below -- S only ever adds
+        # zeros), written straight into a (B, C, H, W) output. That is
+        # the planar bitcast of the {2,1,0,3} NHWC layout XLA picks for
+        # 3-channel conv inputs, so the full-res relayout copy after the
+        # custom call disappears.
+        prod3 = xi3 * Wy3                        # (TILE_R, TILE_C, C*K)
+        for c in range(C):
+            out_ref[0, c] = jnp.sum(
+                prod3[..., c * BAND_K:(c + 1) * BAND_K], axis=-1
+            ).astype(out_ref.dtype)
+        return
     # Sum the K lanes of each channel with a 0/1 selection matmul.
     rows = jax.lax.broadcasted_iota(jnp.int32, (C * BAND_K, C), 0)
     cols_c = jax.lax.broadcasted_iota(jnp.int32, (C * BAND_K, C), 1)
     S = jnp.where(rows // BAND_K == cols_c, 1.0, 0.0)
+    prod = (xi3 * Wy3).reshape(n, C * BAND_K)
     out = jax.lax.dot_general(
         prod, S, (((1,), (0,)), ((), ())),
         precision=precision,
@@ -136,8 +148,9 @@ def pallas_warp_supported(image_shape, grid_shape) -> bool:
             and H >= BAND_K and W >= BAND_KX)
 
 
-@functools.partial(jax.jit, static_argnames=("exact",))
-def _pallas_resample(image, ix, iy, ybase, xbase, exact="highest"):
+@functools.partial(jax.jit, static_argnames=("exact", "planar"))
+def _pallas_resample(image, ix, iy, ybase, xbase, exact="highest",
+                     planar=False):
     if exact is True:
         exact = "highest"
     elif exact is False:
@@ -158,9 +171,14 @@ def _pallas_resample(image, ix, iy, ybase, xbase, exact="highest"):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),  # image stays in HBM
         ],
-        out_specs=pl.BlockSpec((1, TILE_R, TILE_C, C),
-                               lambda b, ty, tx, yb_, xb_: (b, ty, tx, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=(
+            pl.BlockSpec((1, C, TILE_R, TILE_C),
+                         lambda b, ty, tx, yb_, xb_: (b, 0, ty, tx),
+                         memory_space=pltpu.VMEM)
+            if planar else
+            pl.BlockSpec((1, TILE_R, TILE_C, C),
+                         lambda b, ty, tx, yb_, xb_: (b, ty, tx, 0),
+                         memory_space=pltpu.VMEM)),
         scratch_shapes=[
             pltpu.VMEM((C, BAND_K, BAND_KX), image.dtype),
             pltpu.SemaphoreType.DMA,
@@ -172,11 +190,12 @@ def _pallas_resample(image, ix, iy, ybase, xbase, exact="highest"):
     image_chw = jnp.transpose(image, (0, 3, 1, 2))
     image_chw = jnp.pad(image_chw,
                         ((0, 0), (0, 0), (0, BAND_K), (0, BAND_KX)))
-    kernel = functools.partial(_warp_kernel, C=C, exact=exact)
+    kernel = functools.partial(_warp_kernel, C=C, exact=exact, planar=planar)
+    out_shape = (B, C, Ho, Wo) if planar else (B, Ho, Wo, C)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, Ho, Wo, C), image.dtype),
+        out_shape=jax.ShapeDtypeStruct(out_shape, image.dtype),
     )(ybase, xbase, ix, iy, image_chw)
 
 
@@ -201,8 +220,15 @@ def _band_bases(ix, iy, H, W):
     return ybase.reshape(B, -1), xbase.reshape(B, -1), fits
 
 
-def _resample_value(image, grid, exact):
-    """Band-kernel resampling with XLA-gather fallback (values only)."""
+def _resample_value(image, grid, exact, planar=False):
+    """Band-kernel resampling with XLA-gather fallback (values only).
+
+    With ``planar`` the custom call writes a (B, C, Ho, Wo) array and the
+    NHWC result is returned as its transpose -- for XLA a layout bitcast,
+    so the full-res relayout copy after the kernel disappears (the
+    {2,1,0,3} planar-ish layout is what conv consumers of 3-channel
+    images pick anyway).
+    """
     from ..warp import grid_sample, _unnormalize_clamp
 
     B, H, W, C = image.shape
@@ -211,26 +237,29 @@ def _resample_value(image, grid, exact):
     ybase, xbase, fits = _band_bases(ix, iy, H, W)
 
     def fast(_):
-        return _pallas_resample(image, ix, iy, ybase, xbase, exact=exact)
+        return _pallas_resample(image, ix, iy, ybase, xbase, exact=exact,
+                                planar=planar)
 
     def slow(_):
         # grid_sample's f32 interpolation weights promote bf16 images to
         # f32; match the fast branch's output dtype for the cond.
-        return grid_sample(image, grid)[0].astype(image.dtype)
+        out = grid_sample(image, grid)[0].astype(image.dtype)
+        return jnp.transpose(out, (0, 3, 1, 2)) if planar else out
 
-    return jax.lax.cond(fits, fast, slow, None)
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def _pallas_grid_sample(image, grid, exact="highest"):
-    return _resample_value(image, grid, exact)
+    out = jax.lax.cond(fits, fast, slow, None)
+    return jnp.transpose(out, (0, 2, 3, 1)) if planar else out
 
 
-def _pallas_grid_sample_fwd(image, grid, exact):
-    return _resample_value(image, grid, exact), (image, grid)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _pallas_grid_sample(image, grid, exact="highest", planar=False):
+    return _resample_value(image, grid, exact, planar)
 
 
-def _pallas_grid_sample_bwd(exact, res, g):
+def _pallas_grid_sample_fwd(image, grid, exact, planar):
+    return _resample_value(image, grid, exact, planar), (image, grid)
+
+
+def _pallas_grid_sample_bwd(exact, planar, res, g):
     # Bilinear border sampling is linear in the image; its exact transpose
     # (a scatter-add) comes from the XLA path's VJP. Only training paths
     # pay this -- the Pallas forward stays on the fast path.
@@ -244,13 +273,15 @@ def _pallas_grid_sample_bwd(exact, res, g):
 _pallas_grid_sample.defvjp(_pallas_grid_sample_fwd, _pallas_grid_sample_bwd)
 
 
-def homography_warp_pallas(image, grid, exact="highest"):
+def homography_warp_pallas(image, grid, exact="highest", planar=False):
     """Drop-in replacement for ``ops.warp.grid_sample`` on homography grids.
 
     image: (B, H, W, C); grid: (B, Ho, Wo, 2) normalized coords.
     Returns (warped (B, Ho, Wo, C), invalid (B, Ho, Wo)).
     Falls back to the XLA gather when a tile's source span exceeds the
     band; differentiable via a custom VJP (XLA scatter transpose).
+    ``planar``: emit the warped image through a (B, C, Ho, Wo) custom
+    call (layout-friendly for 3-channel conv consumers; values equal).
     """
     invalid = (jnp.abs(grid[..., 0]) > 1.0) | (jnp.abs(grid[..., 1]) > 1.0)
-    return _pallas_grid_sample(image, grid, exact), invalid
+    return _pallas_grid_sample(image, grid, exact, planar), invalid

@@ -168,12 +168,15 @@ def homography_warp(image: jnp.ndarray, H: jnp.ndarray):
 
 def homography_warp_auto(image: jnp.ndarray, H: jnp.ndarray,
                          zero_invalid: bool = False,
-                         precision: str = "highest"):
+                         precision: str = "highest",
+                         planar: bool = False):
     """Homography warp routed to the Pallas band kernel when profitable.
 
     Uses the Pallas kernel on TPU for tile-compatible shapes (~3x faster
     than the XLA gather at 480x640); falls back to ``grid_sample``
-    otherwise. Semantics identical to ``homography_warp``.
+    otherwise. Semantics identical to ``homography_warp``. ``planar``
+    routes the Pallas output through a (B, C, H, W) custom call (same
+    values, conv-friendly layout for small C; no effect off-TPU).
     """
     rows, cols = image.shape[1], image.shape[2]
     grid = homography_grid(H, rows, cols)
@@ -185,7 +188,8 @@ def homography_warp_auto(image: jnp.ndarray, H: jnp.ndarray,
 
     if use_pallas:
         from .pallas import homography_warp_pallas
-        out, invalid = homography_warp_pallas(image, grid, exact=precision)
+        out, invalid = homography_warp_pallas(image, grid, exact=precision,
+                                              planar=planar)
     else:
         out, invalid = grid_sample_auto(image, grid)
     if zero_invalid:

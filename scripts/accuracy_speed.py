@@ -24,6 +24,7 @@ CONFIGS = {
     "high": dict(matmul_precision="high"),
     "default": dict(),
     "bf16": dict(compute_dtype="bfloat16"),
+    "refiners_f32": dict(refiner_dtype="float32"),
     "cost_high": dict(stage_precision=(("cost", "high"),)),
     "refiners_high": dict(stage_precision=(("refiners", "high"),)),
     "extractor_high": dict(stage_precision=(("extractor", "high"),)),

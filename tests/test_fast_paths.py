@@ -129,10 +129,15 @@ def test_pallas_warp_interpret_matches_gather():
     try:
         with pltpu.force_tpu_interpret_mode():
             out = wk._pallas_resample(img, ix, iy, yb, xb, exact=True)
+            outp = wk._pallas_resample(img, ix, iy, yb, xb, exact=True,
+                                       planar=True)
     except Exception as e:  # interpreter support varies across jax versions
         pytest.skip(f"pallas interpret mode unavailable: {e}")
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+    # Planar output: same values through the (B, C, H, W) layout.
+    np.testing.assert_array_equal(
+        np.asarray(jnp.transpose(outp, (0, 2, 3, 1))), np.asarray(out))
 
 
 @pytest.mark.slow
