@@ -30,6 +30,38 @@ def init_feature_network(key, in_channels: int = 3):
     return params
 
 
+def s2d_chain_supported(H: int, W: int) -> bool:
+    """The s2d-chained frontend needs three exact halvings of even dims."""
+    return H % 16 == 0 and W % 16 == 0
+
+
+def feature_network_s2d_chain(params, x):
+    """The whole stride-2 front computed in space-to-depth layout, never
+    materializing an original-layout intermediate (models/s2d.py: each
+    5x5 stride-2 conv is algebraically composed with the 2x2 s2d pack of
+    its output). Values equal ``feature_network`` up to f32 summation
+    order; requires ``s2d_chain_supported(H, W)``.
+
+    Returns the 5-level pyramid with levels 1..3 IN S2D LAYOUT
+    ((B, h/2, w/2, 128) each, channel order (di, dj, c)); levels 0
+    (input) and 4 (final features) stay in original layout. Consumers of
+    the mid-pyramid (the idepthmap refiners' guidance) take the s2d form
+    directly (idepthmap_refiner_s2d feats_s2d=...).
+    """
+    from .s2d import (
+        conv2d_stride2_s2d_out, conv2d_stride2_s2d_chain,
+        conv2d_stride2_s2d_in,
+    )
+
+    h1 = conv2d_stride2_s2d_out(params["conv0"], x)      # s2d of conv0 out
+    h2 = conv2d_stride2_s2d_chain(params["conv1"], h1)   # s2d of conv1 out
+    h3 = conv2d_stride2_s2d_chain(params["conv2"], h2)   # s2d of conv2 out
+    h = conv2d_stride2_s2d_in(params["conv3"], h3)       # original layout
+    for i in range(NUM_RES_BLOCKS):
+        h = resnet_block(params[f"res{i}"], h)
+    return [x, h1, h2, h3, conv2d(params["conv_final"], h)]
+
+
 def feature_network(params, x, use_s2d: bool = False):
     """x: (B, H, W, 3). Returns 5-level pyramid; last entry is features.
 

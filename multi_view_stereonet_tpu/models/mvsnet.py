@@ -35,7 +35,10 @@ from ..geometry import (
 )
 from ..ops import plane_sweep_warp, homography_warp, resize_bilinear, upsample_mask
 from ..ops.warp import homography_warp_auto
-from .feature_network import init_feature_network, feature_network
+from .feature_network import (
+    init_feature_network, feature_network, feature_network_s2d_chain,
+    s2d_chain_supported,
+)
 from .refiners import (
     init_feature_refiner, feature_refiner,
     init_idepthmap_refiner, idepthmap_refiner,
@@ -67,6 +70,17 @@ class MultiViewStereoNetConfig:
     # extractions became one batched pass, XLA's direct stride-2 lowering
     # measures faster than the repack (4.61 vs 4.70 ms full forward, v5e).
     use_s2d_frontend: bool = False
+    # Run the extractor's whole stride-2 front as an s2d CHAIN (each 5x5
+    # stride-2 conv composed with the s2d pack of its output -- one 7x7
+    # stride-4 conv then 4x4 stride-2 convs at 128 lanes, models/s2d.py),
+    # with pyramid levels 1..3 staying in s2d layout all the way into the
+    # refiners' guidance convs. Exact (f32 summation order only). Needs
+    # use_s2d_refiners and H, W % 16 == 0; auto-falls-back otherwise.
+    # In-situ A/B (v5e, b1, 480x640): 4.11 vs 4.46 ms -- the chain removes
+    # XLA's space-to-batch halo copies around the direct stride-2 convs
+    # (~0.43 ms of pure relayout in the trace) and runs every front conv
+    # at full MXU lane width.
+    use_s2d_chained_frontend: bool = True
     # Run the cost-volume filter with HW space-to-depth packed convs
     # (exact; 128-lane Conv3d). Auto-falls-back at odd level-4 dims.
     use_s2d_cost_filter: bool = True
@@ -270,10 +284,21 @@ def incremental_right_features(params, T_right_in_left, K0, K4,
 
 
 def _refine_level(params, name, guidance, idepth_prior, fx, use_s2d=False,
-                  compute_dtype=jnp.float32, remat=False, use_fused=False):
+                  compute_dtype=jnp.float32, remat=False, use_fused=False,
+                  feats_s2d=None):
     """fx idepth-scaling trick around a refiner (:605-613 etc.)."""
     scale = fx[:, None, None]
     B, H, W = guidance.shape[0], guidance.shape[1], guidance.shape[2]
+    if feats_s2d is not None:
+        # s2d-chained frontend: the feature guidance arrives in s2d layout
+        # and goes straight into the refiner's split conv0 (exact).
+        refine = functools.partial(idepthmap_refiner_s2d,
+                                   compute_dtype=compute_dtype,
+                                   feats_s2d=feats_s2d)
+        if remat:
+            refine = jax.checkpoint(refine)
+        scaled = refine(params[name], guidance, idepth_prior * scale)
+        return scaled / scale
     if (use_fused and use_s2d and jax.default_backend() == "tpu"):
         from ..ops.pallas.refiner_kernel import (
             fused_refiner_supported, idepthmap_refiner_fused)
@@ -380,23 +405,28 @@ def _forward_impl(params, left_image_pyr, K_pyr, T_right_in_lefts,
     # MXU underutilization are paid once.
     warped0 = min_idepth_warp(T_bv, K0_bv, right0_bv, idepth_samples,
                               warp_precision)
+    H0, W0 = left_image_pyr[0].shape[1], left_image_pyr[0].shape[2]
+    chained = (config.use_s2d_chained_frontend and config.use_s2d_refiners
+               and s2d_chain_supported(H0, W0))
+
+    def _extract(x):
+        if chained:
+            return feature_network_s2d_chain(params["feature_network"], x)
+        return feature_network(params["feature_network"], x,
+                               use_s2d=config.use_s2d_frontend)
+
     with prec("extractor"):
         if config.fold_extractor_batch:
             stacked = jnp.concatenate(
                 [left_image_pyr[0].astype(cdt), warped0.astype(cdt)], axis=0)
-            stacked_pyr = feature_network(params["feature_network"], stacked,
-                                          use_s2d=config.use_s2d_frontend)
+            stacked_pyr = _extract(stacked)
             left_feature_pyr = [lvl[:B] for lvl in stacked_pyr]
             right_feats0 = stacked_pyr[-1][B:]  # (B*V, h4, w4, C)
         else:
             # Mesh-friendly path: the P('data') left batch and the
             # P(('data','view')) right batch never share an array.
-            left_feature_pyr = feature_network(
-                params["feature_network"], left_image_pyr[0].astype(cdt),
-                use_s2d=config.use_s2d_frontend)
-            right_feats0 = feature_network(
-                params["feature_network"], warped0.astype(cdt),
-                use_s2d=config.use_s2d_frontend)[-1]
+            left_feature_pyr = _extract(left_image_pyr[0].astype(cdt))
+            right_feats0 = _extract(warped0.astype(cdt))[-1]
     left_feats4 = left_feature_pyr[-1]  # (B, h4, w4, C)
 
     with prec("chain"):
@@ -478,8 +508,14 @@ def _forward_impl(params, left_image_pyr, K_pyr, T_right_in_lefts,
             upsample_mask(jnp.moveaxis(prev_mask, 1, -1), out_size), -1, 1)
 
         if do_refiners[lvl]:
+            feats_s2d = None
             if lvl == 0:
                 guidance = left_image_pyr[0].astype(cdt)
+            elif chained:
+                # s2d-chained frontend: pyramid levels 1..3 live in s2d
+                # layout; the refiner's split conv0 consumes them directly.
+                guidance = left_image_pyr[lvl].astype(cdt)
+                feats_s2d = left_feature_pyr[lvl]
             else:
                 guidance = jnp.concatenate(
                     [left_image_pyr[lvl].astype(cdt), left_feature_pyr[lvl]],
@@ -489,7 +525,8 @@ def _forward_impl(params, left_image_pyr, K_pyr, T_right_in_lefts,
                                            prior, K_pyr[lvl][:, 0, 0],
                                            config.use_s2d_refiners, rdt,
                                            remat=config.remat_refiners,
-                                           use_fused=fused_refiners)
+                                           use_fused=fused_refiners,
+                                           feats_s2d=feats_s2d)
         else:
             idepth_lvl = prior
 

@@ -170,6 +170,121 @@ def conv2d_stride2_s2d(params, x: jnp.ndarray) -> jnp.ndarray:
 
 
 @functools.lru_cache(maxsize=1)
+def _s2d_stride2_out_index():
+    """Tap map composing a 5x5 stride-2 'same' conv with the 2x2 s2d pack
+    of its OUTPUT: s2d-output position po = do*2+dd at row i corresponds to
+    conv output row 2i+do, which reads original rows 4i+2do-2 .. 4i+2do+2;
+    composite tap t = 2*do + kh relative to base row 4i-2 -> a 7x7 stride-4
+    conv with padding ((2, 1), (2, 1))."""
+    KH = np.zeros((7, 7, 4), np.int32)
+    KW = np.zeros((7, 7, 4), np.int32)
+    V = np.zeros((7, 7, 4), bool)
+    for do in range(2):
+        for dd in range(2):
+            po = do * 2 + dd
+            for kh in range(5):
+                for kw in range(5):
+                    KH[2 * do + kh, 2 * dd + kw, po] = kh
+                    KW[2 * do + kh, 2 * dd + kw, po] = kw
+                    V[2 * do + kh, 2 * dd + kw, po] = True
+    return KH, KW, V
+
+
+def s2d_kernel_stride2_out(w: jnp.ndarray) -> jnp.ndarray:
+    """(5, 5, Cin, Cout) -> (7, 7, Cin, 4*Cout): fold the s2d pack of the
+    OUTPUT into a 5x5 stride-2 'same' conv, giving one 7x7 stride-4 conv
+    from the original input straight into s2d layout."""
+    Cin, Cout = w.shape[2], w.shape[3]
+    KH, KW, V = _s2d_stride2_out_index()
+    g = w[KH, KW]                                  # (7, 7, 4, Cin, Cout)
+    g = jnp.where(jnp.asarray(V)[..., None, None], g,
+                  jnp.zeros((), w.dtype))
+    g = jnp.transpose(g, (0, 1, 3, 2, 4))          # (7, 7, Cin, pout, Cout)
+    return g.reshape(7, 7, Cin, 4 * Cout)
+
+
+def _out_fold_3x3(w3: jnp.ndarray) -> jnp.ndarray:
+    """(3, 3, Ci, Co) stride-1 'same' kernel -> (4, 4, Ci, 4*Co) stride-2
+    kernel (padding ((1, 1), (1, 1))) computing the 2x2 s2d pack of the
+    conv's output: s2d-output po = do*2+dd at row i is conv output row
+    2i+do, reading input rows 2i+do-1 .. 2i+do+1 -> tap do+kh off base
+    2i-1. Same tap map as the input-pack fold (_s2d_pack_index)."""
+    Ci, Co = w3.shape[2], w3.shape[3]
+    KH, KW, V = _s2d_pack_index()
+    g = w3[KH, KW]                                 # (4, 4, 4, Ci, Co)
+    g = jnp.where(jnp.asarray(V)[..., None, None], g,
+                  jnp.zeros((), w3.dtype))
+    g = jnp.transpose(g, (0, 1, 3, 2, 4))          # (4, 4, Ci, pout, Co)
+    return g.reshape(4, 4, Ci, 4 * Co)
+
+
+def conv2d_stride2_s2d_out(params, x: jnp.ndarray) -> jnp.ndarray:
+    """5x5 stride-2 'same' conv + s2d pack of its output as ONE conv.
+
+    params: plain conv params (w (5,5,Cin,Cout) [+ b]); x: (B, H, W, Cin)
+    original layout with H, W % 4 == 0. Returns (B, H/4, W/4, 4*Cout) --
+    the s2d packing of the conv's (H/2, W/2, Cout) output -- equal to
+    ``space_to_depth(conv2d(params, x, stride=2))`` up to f32 summation
+    order. The composite 7x7 stride-4 conv has a 7*7*Cin contraction and
+    4*Cout output lanes (full MXU at Cout=32), and never materializes the
+    intermediate layout.
+    """
+    w = s2d_kernel_stride2_out(params["w"].astype(x.dtype))
+    out = jax.lax.conv_general_dilated(
+        x, w,
+        window_strides=(4, 4),
+        padding=((2, 1), (2, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if "b" in params:
+        out = out + jnp.tile(params["b"], 4).astype(x.dtype)
+    return out
+
+
+def conv2d_stride2_s2d_chain(params, x: jnp.ndarray) -> jnp.ndarray:
+    """5x5 stride-2 'same' conv from s2d layout TO s2d layout.
+
+    params: plain conv params (w (5,5,Cin,Cout) [+ b]); x: (B, Hs, Ws,
+    4*Cin) the s2d packing of the conv's (2Hs, 2Ws, Cin) input, Hs, Ws
+    even. Returns (B, Hs/2, Ws/2, 4*Cout), the s2d packing of the conv's
+    output: the stride-2 conv becomes a 3x3 conv on the packed input
+    (s2d_kernel_stride2), and folding the output pack turns that into a
+    4x4 stride-2 conv -- 4*Cin-wide contraction, 4*Cout output lanes.
+    """
+    w3 = s2d_kernel_stride2(params["w"].astype(x.dtype))   # (3,3,4Cin,Cout)
+    w = _out_fold_3x3(w3)                                  # (4,4,4Cin,4Cout)
+    out = jax.lax.conv_general_dilated(
+        x, w,
+        window_strides=(2, 2),
+        padding=((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if "b" in params:
+        out = out + jnp.tile(params["b"], 4).astype(x.dtype)
+    return out
+
+
+def conv2d_stride2_s2d_in(params, x: jnp.ndarray) -> jnp.ndarray:
+    """5x5 stride-2 'same' conv consuming an ALREADY-PACKED s2d input.
+
+    params: plain conv params (w (5,5,Cin,Cout) [+ b]); x: (B, Hs, Ws,
+    4*Cin) the s2d packing of the conv's (2Hs, 2Ws, Cin) input. Returns
+    (B, Hs, Ws, Cout) in original layout (the stride-2 output is exactly
+    one sample per packed position).
+    """
+    w = s2d_kernel_stride2(params["w"].astype(x.dtype))
+    out = jax.lax.conv_general_dilated(
+        x, w,
+        window_strides=(1, 1),
+        padding=((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if "b" in params:
+        out = out + params["b"].astype(x.dtype)
+    return out
+
+
+@functools.lru_cache(maxsize=1)
 def _s2d_pack_index():
     """Constant indices folding the input s2d pack into a 3x3 conv.
 
@@ -331,15 +446,34 @@ def resnet_block_s2d(params, x: jnp.ndarray, dilation: int) -> jnp.ndarray:
 
 
 def idepthmap_refiner_s2d(params, guidance: jnp.ndarray, idepthmap: jnp.ndarray,
-                          compute_dtype=None) -> jnp.ndarray:
+                          compute_dtype=None, feats_s2d=None) -> jnp.ndarray:
     """S2D execution of IDepthmapRefiner; exact same outputs as the plain
     path (refiners.idepthmap_refiner). guidance: (B,H,W,Cg) with even H,W;
-    idepthmap: (B,H,W). ``compute_dtype`` as in idepthmap_refiner."""
+    idepthmap: (B,H,W). ``compute_dtype`` as in idepthmap_refiner.
+
+    ``feats_s2d``: optionally, the feature part of the guidance ALREADY in
+    s2d layout (B, H/2, W/2, 4*Cf) -- as produced by the s2d-chained
+    feature frontend. The full guidance channel stack is then
+    [guidance(Cg) | features(Cf) | idepth(1)] and conv0 is split by
+    linearity: a packing conv over the original-layout channels plus a
+    plain s2d conv over the feature channels (bias applied once) -- exact,
+    and the feature pyramid never leaves s2d layout.
+    """
     dt = compute_dtype or idepthmap.dtype
-    x = jnp.concatenate(
-        [guidance.astype(dt), idepthmap[..., None].astype(dt)], axis=-1)
-    x = leaky_relu(group_norm_s2d(params["gn0"],
-                                  conv2d_s2d_packing(params["conv0"], x), 4))
+    if feats_s2d is None:
+        x = jnp.concatenate(
+            [guidance.astype(dt), idepthmap[..., None].astype(dt)], axis=-1)
+        y = conv2d_s2d_packing(params["conv0"], x)
+    else:
+        Cimg = guidance.shape[-1]
+        w = params["conv0"]["w"]   # (3, 3, Cimg + Cf + 1, 32)
+        w_orig = jnp.concatenate([w[:, :, :Cimg], w[:, :, -1:]], axis=2)
+        w_feat = w[:, :, Cimg:-1]
+        x = jnp.concatenate(
+            [guidance.astype(dt), idepthmap[..., None].astype(dt)], axis=-1)
+        y = (conv2d_s2d_packing({"w": w_orig, "b": params["conv0"]["b"]}, x)
+             + conv2d_s2d({"w": w_feat}, feats_s2d.astype(dt)))
+    x = leaky_relu(group_norm_s2d(params["gn0"], y, 4))
     for i in range(6):
         x = resnet_block_s2d(params[f"res{i}"], x, DILATIONS[i])
     delta = conv2d_s2d(params["conv_final"], x)

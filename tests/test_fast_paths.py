@@ -104,6 +104,101 @@ def test_feature_network_s2d_exact(params):
                                    atol=2e-6, rtol=1e-5)
 
 
+def test_feature_network_s2d_chain_exact(params):
+    """The chained frontend == plain frontend with pyramid levels 1..3
+    unpacked from s2d layout."""
+    from multi_view_stereonet_tpu.models.feature_network import (
+        feature_network, feature_network_s2d_chain, s2d_chain_supported)
+
+    rng = np.random.default_rng(9)
+    assert s2d_chain_supported(64, 96)
+    x = jnp.asarray(rng.uniform(-1, 1, (2, 64, 96, 3)).astype(np.float32))
+    a = feature_network(params["feature_network"], x)
+    b = feature_network_s2d_chain(params["feature_network"], x)
+    for lvl in (1, 2, 3):
+        b[lvl] = depth_to_space(b[lvl])
+    for la, lb in zip(a, b):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                   atol=2e-6, rtol=1e-5)
+
+
+def test_s2d_stride2_out_and_chain_exact():
+    """Output-pack-folded stride-2 convs == conv + explicit s2d pack."""
+    from multi_view_stereonet_tpu.models.layers import conv2d
+    from multi_view_stereonet_tpu.models.s2d import (
+        conv2d_stride2_s2d_out, conv2d_stride2_s2d_chain,
+        conv2d_stride2_s2d_in)
+
+    rng = np.random.default_rng(10)
+    x = jnp.asarray(rng.normal(size=(2, 32, 48, 3)).astype(np.float32))
+    p0 = {"w": jnp.asarray(
+              rng.normal(scale=0.1, size=(5, 5, 3, 8)).astype(np.float32)),
+          "b": jnp.asarray(rng.normal(size=(8,)).astype(np.float32))}
+    y = conv2d(p0, x, stride=2)                        # (2, 16, 24, 8)
+    np.testing.assert_allclose(
+        np.asarray(conv2d_stride2_s2d_out(p0, x)),
+        np.asarray(space_to_depth(y)), atol=2e-6, rtol=1e-5)
+
+    p1 = {"w": jnp.asarray(
+              rng.normal(scale=0.1, size=(5, 5, 8, 8)).astype(np.float32))}
+    z = conv2d(p1, y, stride=2)                        # (2, 8, 12, 8)
+    np.testing.assert_allclose(
+        np.asarray(conv2d_stride2_s2d_chain(p1, space_to_depth(y))),
+        np.asarray(space_to_depth(z)), atol=2e-6, rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(conv2d_stride2_s2d_in(p1, space_to_depth(y))),
+        np.asarray(z), atol=2e-6, rtol=1e-5)
+
+
+def test_s2d_refiner_split_guidance_exact(params):
+    """idepthmap_refiner_s2d(feats_s2d=...) == the concatenated-guidance
+    path (conv0 split by linearity)."""
+    rng = np.random.default_rng(11)
+    img = jnp.asarray(rng.uniform(-1, 1, (2, 16, 24, 3)).astype(np.float32))
+    feats = jnp.asarray(rng.normal(size=(2, 16, 24, 32)).astype(np.float32))
+    idp = jnp.asarray(rng.uniform(0.1, 2.0, (2, 16, 24)).astype(np.float32))
+    a = idepthmap_refiner_s2d(params["refiner3"],
+                              jnp.concatenate([img, feats], axis=-1), idp)
+    b = idepthmap_refiner_s2d(params["refiner3"], img, idp,
+                              feats_s2d=space_to_depth(feats))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=2e-6, rtol=1e-5)
+
+
+def test_mvsnet_forward_chained_frontend_exact(params):
+    """Full forward with the chained frontend == default routing."""
+    from multi_view_stereonet_tpu.models import (
+        MultiViewStereoNetConfig, mvsnet_forward)
+
+    rng = np.random.default_rng(12)
+    B, V, H, W = 1, 1, 64, 96
+    left_pyr, right_pyrs, K_pyr = [], [], []
+    h, w = H, W
+    for lvl in range(5):
+        left_pyr.append(jnp.asarray(
+            rng.uniform(-1, 1, (B, h, w, 3)).astype(np.float32)))
+        right_pyrs.append(jnp.asarray(
+            rng.uniform(-1, 1, (B, V, h, w, 3)).astype(np.float32)))
+        K = np.eye(4, dtype=np.float32)
+        K[0, 0] = K[1, 1] = 40.0 / (2 ** lvl)
+        K[0, 2], K[1, 2] = w / 2.0, h / 2.0
+        K_pyr.append(jnp.asarray(np.tile(K, (B, 1, 1))))
+        h, w = h // 2, w // 2
+    T = np.tile(np.eye(4, dtype=np.float32), (B, V, 1, 1))
+    T[:, :, 0, 3] = 0.5
+    T = jnp.asarray(T)
+
+    out_a = mvsnet_forward(params, left_pyr, K_pyr, T, right_pyrs,
+                           MultiViewStereoNetConfig())
+    out_b = mvsnet_forward(params, left_pyr, K_pyr, T, right_pyrs,
+                           MultiViewStereoNetConfig(
+                               use_s2d_chained_frontend=True))
+    for la, lb in zip(out_a["left_idepthmap_pyr"],
+                      out_b["left_idepthmap_pyr"]):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                   atol=5e-5, rtol=1e-4)
+
+
 def test_pallas_warp_interpret_matches_gather():
     """Kernel semantics vs the XLA gather, via the Pallas interpreter."""
     from multi_view_stereonet_tpu.ops.warp import homography_grid, grid_sample
