@@ -120,6 +120,15 @@ class MultiViewStereoNetConfig:
     # "high"/"highest" parity modes) it follows compute_dtype, keeping
     # golden parity exact. "float32"/"bfloat16" force a dtype.
     refiner_dtype: str = "auto"
+    # Storage dtype for the full-res min-idepth warp output and the
+    # feature-extractor activations, same policy as ``refiner_dtype``:
+    # "auto" = bfloat16 on TPU at DEFAULT matmul precision with no
+    # "extractor"/"warp" stage override (the warp kernel interpolates in
+    # f32 and rounds once at the output write -- the same rounding the
+    # DEFAULT-precision consumer conv applies anyway -- halving the
+    # full-res relayout copy after the kernel and the extractor's HBM
+    # traffic); compute_dtype everywhere else (CPU/parity modes exact).
+    frontend_dtype: str = "auto"
     # Matmul/conv precision ladder (measured at 480x640/12 hyps, v5e):
     #   "default": bf16 MXU passes -- 185 dm/s, max ~0.6%-of-range output
     #              deviation from the f32 reference;
@@ -168,19 +177,26 @@ def init_mvsnet(key):
 
 
 def min_idepth_warp(T_right_in_left, K0, right_image0, idepth_samples,
-                    warp_precision="highest"):
-    """Full-res right image warped by the min-idepth homography (:254-258)."""
+                    warp_precision="highest", out_dtype=None):
+    """Full-res right image warped by the min-idepth homography (:254-258).
+
+    ``out_dtype``: storage dtype of the warped image (f32 interpolation,
+    one rounding at the kernel's output write).
+    """
     H_min = create_plane_sweep_homographies(T_right_in_left, K0,
                                             idepth_samples[:, :1])
     # NOTE: two attacks on the relayout copy after this warp were A/B'd
-    # on v5e and both LOSE in situ: a bf16 image (halved band DMA) costs
-    # +0.16 ms in standalone converts around the kernel, and planar
+    # on v5e and both LOSE in situ: a bf16 INPUT image (halved band DMA)
+    # costs +0.16 ms in standalone converts around the kernel, and planar
     # (B, C, H, W) kernel output (ops/pallas/warp_kernel.py planar=True)
     # costs +0.24 ms because the per-channel VPU lane-segment sums it
     # needs are slower than the MXU S-matmul plus the copy it removes.
+    # What DOES win is a bf16 OUTPUT (out_dtype): the cast is free at the
+    # kernel's output write and halves the consumer-side relayout.
     warped0, _ = homography_warp_auto(right_image0, H_min[:, 0],
                                       zero_invalid=True,
-                                      precision=warp_precision)
+                                      precision=warp_precision,
+                                      out_dtype=out_dtype)
     return warped0
 
 
@@ -379,6 +395,17 @@ def _forward_impl(params, left_image_pyr, K_pyr, T_right_in_lefts,
     else:
         rdt = jnp.dtype(config.refiner_dtype)
 
+    # Frontend (warp output + extractor activation) storage dtype.
+    if config.frontend_dtype == "auto":
+        fdt = (jnp.dtype(jnp.bfloat16)
+               if (jax.default_backend() == "tpu"
+                   and config.matmul_precision == "default"
+                   and stage_prec.get("extractor") is None
+                   and stage_prec.get("warp") is None)
+               else cdt)
+    else:
+        fdt = jnp.dtype(config.frontend_dtype)
+
     B, V = T_right_in_lefts.shape[0], T_right_in_lefts.shape[1]
     h4, w4 = left_image_pyr[4].shape[1], left_image_pyr[4].shape[2]
 
@@ -404,7 +431,7 @@ def _forward_impl(params, left_image_pyr, K_pyr, T_right_in_lefts,
     # passes: per-sample results are unchanged, per-pass overheads and
     # MXU underutilization are paid once.
     warped0 = min_idepth_warp(T_bv, K0_bv, right0_bv, idepth_samples,
-                              warp_precision)
+                              warp_precision, out_dtype=fdt)
     H0, W0 = left_image_pyr[0].shape[1], left_image_pyr[0].shape[2]
     chained = (config.use_s2d_chained_frontend and config.use_s2d_refiners
                and s2d_chain_supported(H0, W0))
@@ -418,15 +445,15 @@ def _forward_impl(params, left_image_pyr, K_pyr, T_right_in_lefts,
     with prec("extractor"):
         if config.fold_extractor_batch:
             stacked = jnp.concatenate(
-                [left_image_pyr[0].astype(cdt), warped0.astype(cdt)], axis=0)
+                [left_image_pyr[0].astype(fdt), warped0.astype(fdt)], axis=0)
             stacked_pyr = _extract(stacked)
             left_feature_pyr = [lvl[:B] for lvl in stacked_pyr]
             right_feats0 = stacked_pyr[-1][B:]  # (B*V, h4, w4, C)
         else:
             # Mesh-friendly path: the P('data') left batch and the
             # P(('data','view')) right batch never share an array.
-            left_feature_pyr = _extract(left_image_pyr[0].astype(cdt))
-            right_feats0 = _extract(warped0.astype(cdt))[-1]
+            left_feature_pyr = _extract(left_image_pyr[0].astype(fdt))
+            right_feats0 = _extract(warped0.astype(fdt))[-1]
     left_feats4 = left_feature_pyr[-1]  # (B, h4, w4, C)
 
     with prec("chain"):
@@ -468,7 +495,8 @@ def _forward_impl(params, left_image_pyr, K_pyr, T_right_in_lefts,
     b_hw = baseline[:, None, None]
     if do_refiners[4]:
         guidance4 = jnp.concatenate(
-            [left_image_pyr[4].astype(cdt), left_feats4], axis=-1)
+            [left_image_pyr[4].astype(left_feats4.dtype), left_feats4],
+            axis=-1)
         guidance4_bv = jnp.repeat(guidance4, V, axis=0)
         with prec("refiners"):
             idepth4 = _refine_level(params, "refiner4", guidance4_bv,

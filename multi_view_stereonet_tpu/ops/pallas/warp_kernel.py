@@ -148,13 +148,14 @@ def pallas_warp_supported(image_shape, grid_shape) -> bool:
             and H >= BAND_K and W >= BAND_KX)
 
 
-@functools.partial(jax.jit, static_argnames=("exact", "planar"))
+@functools.partial(jax.jit, static_argnames=("exact", "planar", "out_dtype"))
 def _pallas_resample(image, ix, iy, ybase, xbase, exact="highest",
-                     planar=False):
+                     planar=False, out_dtype=None):
     if exact is True:
         exact = "highest"
     elif exact is False:
         exact = "default"
+    out_dtype = out_dtype or image.dtype
     B, H, W, C = image.shape
     Ho, Wo = ix.shape[1], ix.shape[2]
     nty, ntx = Ho // TILE_R, Wo // TILE_C
@@ -195,7 +196,7 @@ def _pallas_resample(image, ix, iy, ybase, xbase, exact="highest",
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(out_shape, image.dtype),
+        out_shape=jax.ShapeDtypeStruct(out_shape, out_dtype),
     )(ybase, xbase, ix, iy, image_chw)
 
 
@@ -220,7 +221,7 @@ def _band_bases(ix, iy, H, W):
     return ybase.reshape(B, -1), xbase.reshape(B, -1), fits
 
 
-def _resample_value(image, grid, exact, planar=False):
+def _resample_value(image, grid, exact, planar=False, out_dtype=None):
     """Band-kernel resampling with XLA-gather fallback (values only).
 
     With ``planar`` the custom call writes a (B, C, Ho, Wo) array and the
@@ -228,38 +229,46 @@ def _resample_value(image, grid, exact, planar=False):
     so the full-res relayout copy after the kernel disappears (the
     {2,1,0,3} planar-ish layout is what conv consumers of 3-channel
     images pick anyway).
+
+    ``out_dtype``: output storage dtype. The kernel interpolates in f32
+    either way and rounds once at the output write, so emitting bfloat16
+    is free inside the kernel and halves the traffic of whatever relayout
+    the consumer requires (vs a separate f32 copy+convert after).
     """
     from ..warp import grid_sample, _unnormalize_clamp
 
     B, H, W, C = image.shape
+    out_dtype = out_dtype or image.dtype
     ix = _unnormalize_clamp(grid[..., 0], W)
     iy = _unnormalize_clamp(grid[..., 1], H)
     ybase, xbase, fits = _band_bases(ix, iy, H, W)
 
     def fast(_):
         return _pallas_resample(image, ix, iy, ybase, xbase, exact=exact,
-                                planar=planar)
+                                planar=planar, out_dtype=out_dtype)
 
     def slow(_):
         # grid_sample's f32 interpolation weights promote bf16 images to
         # f32; match the fast branch's output dtype for the cond.
-        out = grid_sample(image, grid)[0].astype(image.dtype)
+        out = grid_sample(image, grid)[0].astype(out_dtype)
         return jnp.transpose(out, (0, 3, 1, 2)) if planar else out
 
     out = jax.lax.cond(fits, fast, slow, None)
     return jnp.transpose(out, (0, 2, 3, 1)) if planar else out
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def _pallas_grid_sample(image, grid, exact="highest", planar=False):
-    return _resample_value(image, grid, exact, planar)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _pallas_grid_sample(image, grid, exact="highest", planar=False,
+                        out_dtype=None):
+    return _resample_value(image, grid, exact, planar, out_dtype)
 
 
-def _pallas_grid_sample_fwd(image, grid, exact, planar):
-    return _resample_value(image, grid, exact, planar), (image, grid)
+def _pallas_grid_sample_fwd(image, grid, exact, planar, out_dtype):
+    return (_resample_value(image, grid, exact, planar, out_dtype),
+            (image, grid))
 
 
-def _pallas_grid_sample_bwd(exact, planar, res, g):
+def _pallas_grid_sample_bwd(exact, planar, out_dtype, res, g):
     # Bilinear border sampling is linear in the image; its exact transpose
     # (a scatter-add) comes from the XLA path's VJP. Only training paths
     # pay this -- the Pallas forward stays on the fast path.
@@ -267,13 +276,14 @@ def _pallas_grid_sample_bwd(exact, planar, res, g):
 
     image, grid = res
     _, vjp = jax.vjp(lambda im, gr: grid_sample(im, gr)[0], image, grid)
-    return vjp(g)
+    return vjp(g.astype(image.dtype))
 
 
 _pallas_grid_sample.defvjp(_pallas_grid_sample_fwd, _pallas_grid_sample_bwd)
 
 
-def homography_warp_pallas(image, grid, exact="highest", planar=False):
+def homography_warp_pallas(image, grid, exact="highest", planar=False,
+                           out_dtype=None):
     """Drop-in replacement for ``ops.warp.grid_sample`` on homography grids.
 
     image: (B, H, W, C); grid: (B, Ho, Wo, 2) normalized coords.
@@ -282,6 +292,8 @@ def homography_warp_pallas(image, grid, exact="highest", planar=False):
     band; differentiable via a custom VJP (XLA scatter transpose).
     ``planar``: emit the warped image through a (B, C, Ho, Wo) custom
     call (layout-friendly for 3-channel conv consumers; values equal).
+    ``out_dtype``: output storage dtype (f32 interpolation, one rounding
+    at the output write).
     """
     invalid = (jnp.abs(grid[..., 0]) > 1.0) | (jnp.abs(grid[..., 1]) > 1.0)
-    return _pallas_grid_sample(image, grid, exact, planar), invalid
+    return _pallas_grid_sample(image, grid, exact, planar, out_dtype), invalid

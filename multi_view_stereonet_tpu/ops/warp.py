@@ -169,7 +169,8 @@ def homography_warp(image: jnp.ndarray, H: jnp.ndarray):
 def homography_warp_auto(image: jnp.ndarray, H: jnp.ndarray,
                          zero_invalid: bool = False,
                          precision: str = "highest",
-                         planar: bool = False):
+                         planar: bool = False,
+                         out_dtype=None):
     """Homography warp routed to the Pallas band kernel when profitable.
 
     Uses the Pallas kernel on TPU for tile-compatible shapes (~3x faster
@@ -177,6 +178,8 @@ def homography_warp_auto(image: jnp.ndarray, H: jnp.ndarray,
     otherwise. Semantics identical to ``homography_warp``. ``planar``
     routes the Pallas output through a (B, C, H, W) custom call (same
     values, conv-friendly layout for small C; no effect off-TPU).
+    ``out_dtype`` sets the output storage dtype (interpolation stays f32;
+    one rounding at the write -- both paths).
     """
     rows, cols = image.shape[1], image.shape[2]
     grid = homography_grid(H, rows, cols)
@@ -189,9 +192,12 @@ def homography_warp_auto(image: jnp.ndarray, H: jnp.ndarray,
     if use_pallas:
         from .pallas import homography_warp_pallas
         out, invalid = homography_warp_pallas(image, grid, exact=precision,
-                                              planar=planar)
+                                              planar=planar,
+                                              out_dtype=out_dtype)
     else:
         out, invalid = grid_sample_auto(image, grid)
+        if out_dtype is not None:
+            out = out.astype(out_dtype)
     if zero_invalid:
         out = jnp.where(invalid[..., None], 0.0, out)
     return out, invalid

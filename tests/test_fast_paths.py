@@ -233,6 +233,16 @@ def test_pallas_warp_interpret_matches_gather():
     # Planar output: same values through the (B, C, H, W) layout.
     np.testing.assert_array_equal(
         np.asarray(jnp.transpose(outp, (0, 2, 3, 1))), np.asarray(out))
+    # bf16 output dtype: the f32 interpolation rounded once at the write.
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            outb = wk._pallas_resample(img, ix, iy, yb, xb, exact=True,
+                                       out_dtype=jnp.bfloat16)
+    except Exception as e:
+        pytest.skip(f"pallas interpret mode unavailable: {e}")
+    assert outb.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(outb), np.asarray(out.astype(jnp.bfloat16)))
 
 
 @pytest.mark.slow
