@@ -47,7 +47,7 @@ from .cost_volume import (
     init_cost_volume_filter, cost_volume_filter, cost_volume_filter_s2d,
     extract_idepthmap,
 )
-from .s2d import idepthmap_refiner_s2d
+from .s2d import idepthmap_refiner_s2d, idepthmap_refiner_s2d_lowres
 
 NUM_LEVELS = 5
 FEATURE_CHANNELS = 32
@@ -129,11 +129,26 @@ class MultiViewStereoNetConfig:
     # full-res relayout copy after the kernel and the extractor's HBM
     # traffic); compute_dtype everywhere else (CPU/parity modes exact).
     frontend_dtype: str = "auto"
-    # Matmul/conv precision ladder (measured at 480x640/12 hyps, v5e):
-    #   "default": bf16 MXU passes -- 185 dm/s, max ~0.6%-of-range output
-    #              deviation from the f32 reference;
-    #   "high":    bf16_3x passes -- 115 dm/s, max ~0.06% deviation;
-    #   "highest": f32-exact multi-pass -- 64 dm/s, matches the CPU
+    # Fold each refined level's 2x bilinear prior upsample into the s2d
+    # refiner (s2d.idepthmap_refiner_s2d_lowres): the upsampled prior is
+    # consumed entirely in s2d layout, so in serving graphs (where the
+    # raw upsampled pyramid entry is dead code) the full-res prior is
+    # never materialized. Values equal the unfolded path up to f32
+    # rounding of the bilinear weights; applies only where the level is
+    # an exact 2x of the previous and the s2d refiner runs.
+    # Off by default: in-situ A/B (v5e b1, 480x640) measured 3.96 vs
+    # 3.89 ms -- splitting conv0 into three partial convs (image pack +
+    # feats + folded prior) costs more than the ~0.11 ms of upsample
+    # relayout it removes; XLA sums the partials as separate conv
+    # kernels instead of one fused contraction.
+    fold_prior_upsample: bool = False
+    # Matmul/conv precision ladder (measured at 480x640/12 hyps, v5e,
+    # round-2 graph):
+    #   "default": bf16 MXU passes + bf16 activation storage -- 259 dm/s,
+    #              end-metric abs_rel delta -0.05% vs f32-exact
+    #              (bench.py re-measures every run);
+    #   "high":    bf16_3x passes, f32 storage (no "auto" bf16);
+    #   "highest": f32-exact multi-pass -- 69.5 dm/s, matches the CPU
     #              golden tests bit-for-bit.
     matmul_precision: str = "default"
     # Per-stage overrides of the ambient matmul precision: a tuple of
@@ -301,10 +316,24 @@ def incremental_right_features(params, T_right_in_left, K0, K4,
 
 def _refine_level(params, name, guidance, idepth_prior, fx, use_s2d=False,
                   compute_dtype=jnp.float32, remat=False, use_fused=False,
-                  feats_s2d=None):
+                  feats_s2d=None, prior_lowres=None):
     """fx idepth-scaling trick around a refiner (:605-613 etc.)."""
     scale = fx[:, None, None]
     B, H, W = guidance.shape[0], guidance.shape[1], guidance.shape[2]
+    if (prior_lowres is not None and use_s2d
+            and prior_lowres.shape[1] * 2 == H
+            and prior_lowres.shape[2] * 2 == W):
+        # Fold the 2x bilinear prior upsample into the s2d refiner: the
+        # upsampled prior is consumed (conv0 idepth channel + residual
+        # base) entirely in s2d layout, so the full-res array never
+        # materializes (s2d.idepthmap_refiner_s2d_lowres).
+        refine = functools.partial(idepthmap_refiner_s2d_lowres,
+                                   compute_dtype=compute_dtype,
+                                   feats_s2d=feats_s2d)
+        if remat:
+            refine = jax.checkpoint(refine)
+        scaled = refine(params[name], guidance, prior_lowres * scale)
+        return scaled / scale
     if feats_s2d is not None:
         # s2d-chained frontend: the feature guidance arrives in s2d layout
         # and goes straight into the refiner's split conv0 (exact).
@@ -549,12 +578,13 @@ def _forward_impl(params, left_image_pyr, K_pyr, T_right_in_lefts,
                     [left_image_pyr[lvl].astype(cdt), left_feature_pyr[lvl]],
                     axis=-1)
             with prec("refiners"):
-                idepth_lvl = _refine_level(params, f"refiner{lvl}", guidance,
-                                           prior, K_pyr[lvl][:, 0, 0],
-                                           config.use_s2d_refiners, rdt,
-                                           remat=config.remat_refiners,
-                                           use_fused=fused_refiners,
-                                           feats_s2d=feats_s2d)
+                idepth_lvl = _refine_level(
+                    params, f"refiner{lvl}", guidance, prior,
+                    K_pyr[lvl][:, 0, 0], config.use_s2d_refiners, rdt,
+                    remat=config.remat_refiners, use_fused=fused_refiners,
+                    feats_s2d=feats_s2d,
+                    prior_lowres=(prev_idepth
+                                  if config.fold_prior_upsample else None))
         else:
             idepth_lvl = prior
 

@@ -445,6 +445,83 @@ def resnet_block_s2d(params, x: jnp.ndarray, dilation: int) -> jnp.ndarray:
     return out + x
 
 
+@functools.lru_cache(maxsize=1)
+def _up2x_s2d_kernel():
+    """(3, 3, 1, 4) kernel: the 2x2 s2d packing of a bilinear 2x upsample.
+
+    s2d(up(x))[i, j, (a, b)] = up(x)[2i+a, 2j+b]; with the half-pixel
+    align_corners=False convention (ops/resize.py) row 2i+a samples
+    source rows {i-1: 0.25, i: 0.75} (a=0) / {i: 0.75, i+1: 0.25} (a=1),
+    separably in W. Applied VALID on an edge-replicated input: at the
+    borders torch's negative-side clamp collapses both taps onto the
+    edge row, which replication reproduces (0.25x + 0.75x = x up to one
+    f32 rounding).
+    """
+    taps = {0: ((-1, 0.25), (0, 0.75)), 1: ((0, 0.75), (1, 0.25))}
+    K = np.zeros((3, 3, 1, 4), np.float32)
+    for a in range(2):
+        for b in range(2):
+            for s, ws in taps[a]:
+                for t, wt in taps[b]:
+                    K[s + 1, t + 1, 0, a * 2 + b] = ws * wt
+    return K
+
+
+def upsample2x_to_s2d(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, h, w) -> (B, h, w, 4): s2d packing of the bilinear 2x upsample.
+
+    Equals ``space_to_depth(resize_bilinear(x, (2h, 2w))[..., None])`` up
+    to f32 rounding, without materializing the full-res array.
+    """
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1)), mode="edge")[..., None]
+    w = jnp.asarray(_up2x_s2d_kernel(), x.dtype)
+    return jax.lax.conv_general_dilated(
+        xp, w, window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def _refiner_delta_s2d(params, y: jnp.ndarray) -> jnp.ndarray:
+    """Shared gn0 -> 6 resblocks -> conv_final pipeline (s2d layout)."""
+    x = leaky_relu(group_norm_s2d(params["gn0"], y, 4))
+    for i in range(6):
+        x = resnet_block_s2d(params[f"res{i}"], x, DILATIONS[i])
+    return conv2d_s2d(params["conv_final"], x)  # (B, Hs, Ws, 4)
+
+
+def idepthmap_refiner_s2d_lowres(params, guidance: jnp.ndarray,
+                                 prior_lowres: jnp.ndarray,
+                                 compute_dtype=None,
+                                 feats_s2d=None) -> jnp.ndarray:
+    """IDepthmapRefiner fused with the 2x bilinear upsample of its prior.
+
+    guidance: (B, H, W, Cg) (image[, features] as in idepthmap_refiner_s2d);
+    prior_lowres: (B, H/2, W/2) -- the idepth prior BEFORE upsampling.
+    Returns the refined full-res (B, H, W) idepthmap, equal (up to f32
+    rounding) to ``idepthmap_refiner_s2d(params, guidance,
+    resize_bilinear(prior_lowres, (H, W)))``.
+
+    The upsampled prior is only ever consumed in s2d layout (conv0's
+    idepth channel + the residual base, both at (H/2, W/2, 4)), so the
+    full-res array never materializes -- the measured ~0.11 ms/frame of
+    f32 relayout copies around the level-0 upsample (trace,
+    docs/ROOFLINE.md) disappears from serving graphs, where the raw
+    upsampled pyramid output is dead code.
+    """
+    dt = compute_dtype or prior_lowres.dtype
+    pr4 = upsample2x_to_s2d(prior_lowres)            # f32 (B, H/2, W/2, 4)
+    w = params["conv0"]["w"]
+    Cimg = guidance.shape[-1]
+    y = conv2d_s2d_packing(
+        {"w": w[:, :, :Cimg], "b": params["conv0"]["b"]},
+        guidance.astype(dt))
+    if feats_s2d is not None:
+        y = y + conv2d_s2d({"w": w[:, :, Cimg:-1]}, feats_s2d.astype(dt))
+    y = y + conv2d_s2d({"w": w[:, :, -1:]}, pr4.astype(dt))
+    delta = _refiner_delta_s2d(params, y)
+    out = jax.nn.relu(pr4 + delta.astype(pr4.dtype))
+    return depth_to_space(out)[..., 0]
+
+
 def idepthmap_refiner_s2d(params, guidance: jnp.ndarray, idepthmap: jnp.ndarray,
                           compute_dtype=None, feats_s2d=None) -> jnp.ndarray:
     """S2D execution of IDepthmapRefiner; exact same outputs as the plain
@@ -473,9 +550,5 @@ def idepthmap_refiner_s2d(params, guidance: jnp.ndarray, idepthmap: jnp.ndarray,
             [guidance.astype(dt), idepthmap[..., None].astype(dt)], axis=-1)
         y = (conv2d_s2d_packing({"w": w_orig, "b": params["conv0"]["b"]}, x)
              + conv2d_s2d({"w": w_feat}, feats_s2d.astype(dt)))
-    x = leaky_relu(group_norm_s2d(params["gn0"], y, 4))
-    for i in range(6):
-        x = resnet_block_s2d(params[f"res{i}"], x, DILATIONS[i])
-    delta = conv2d_s2d(params["conv_final"], x)
-    delta = depth_to_space(delta)[..., 0]
+    delta = depth_to_space(_refiner_delta_s2d(params, y))[..., 0]
     return jax.nn.relu(idepthmap + delta.astype(idepthmap.dtype))

@@ -165,6 +165,42 @@ def test_s2d_refiner_split_guidance_exact(params):
                                atol=2e-6, rtol=1e-5)
 
 
+def test_upsample2x_to_s2d_matches_resize():
+    from multi_view_stereonet_tpu.models.s2d import upsample2x_to_s2d
+    from multi_view_stereonet_tpu.ops import resize_bilinear
+
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(rng.uniform(0.1, 2.0, (2, 15, 21)).astype(np.float32))
+    ref = space_to_depth(
+        resize_bilinear(x, (30, 42))[..., None])  # (2, 15, 21, 4)
+    out = upsample2x_to_s2d(x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-6, rtol=1e-6)
+
+
+def test_s2d_refiner_lowres_prior_exact(params):
+    """Upsample-folded refiner == s2d refiner on the upsampled prior."""
+    from multi_view_stereonet_tpu.models.s2d import (
+        idepthmap_refiner_s2d_lowres)
+    from multi_view_stereonet_tpu.ops import resize_bilinear
+
+    rng = np.random.default_rng(14)
+    img = jnp.asarray(rng.uniform(-1, 1, (2, 16, 24, 3)).astype(np.float32))
+    feats = jnp.asarray(rng.normal(size=(2, 16, 24, 32)).astype(np.float32))
+    low = jnp.asarray(rng.uniform(0.1, 2.0, (2, 8, 12)).astype(np.float32))
+    prior = resize_bilinear(low, (16, 24))
+    g = jnp.concatenate([img, feats], axis=-1)
+    ref = idepthmap_refiner_s2d(params["refiner3"], g, prior)
+    out = idepthmap_refiner_s2d_lowres(params["refiner3"], g, low)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+    # Split-guidance (chained-frontend) form too.
+    out2 = idepthmap_refiner_s2d_lowres(params["refiner3"], img, low,
+                                        feats_s2d=space_to_depth(feats))
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
 def test_mvsnet_forward_chained_frontend_exact(params):
     """Full forward with the chained frontend == default routing."""
     from multi_view_stereonet_tpu.models import (
