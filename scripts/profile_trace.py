@@ -122,6 +122,9 @@ def main():
     ap.add_argument("--dtype", default="float32")
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--iters", type=int, default=6)
+    ap.add_argument("--train", action="store_true",
+                    help="trace the full training step (fwd+bwd+optax) "
+                         "instead of the inference forward")
     args = ap.parse_args()
 
     import jax
@@ -142,15 +145,32 @@ def main():
                          _example_batch(B=args.batch, V=1, H=480, W=640))
     config = MultiViewStereoNetConfig(compute_dtype=args.dtype)
 
-    @jax.jit
-    def step(params, batch, t):
-        inputs = multi_view_unpack_batch(batch)
-        left = inputs["left_image_pyr"]
-        left = [left[0] + t] + list(left[1:])
-        out = mvsnet_forward(params, left, inputs["K_pyr"],
-                             inputs["T_right_in_left"],
-                             inputs["right_image_pyr"], config)
-        return jnp.sum(out["left_idepthmap_pyr"][0])
+    if args.train:
+        from multi_view_stereonet_tpu.losses import LossConfig
+        from multi_view_stereonet_tpu.train.step import (
+            OptimizerConfig, make_optimizer, make_train_step,
+        )
+
+        tx = make_optimizer(OptimizerConfig())
+        opt_state = tx.init(params)
+        train_step = make_train_step(config, LossConfig(), tx)
+
+        @jax.jit
+        def step(params, batch, t):
+            b = dict(batch)
+            b["left_image"] = batch["left_image"] + t
+            p, _, loss, _ = train_step(params, opt_state, b)
+            return loss
+    else:
+        @jax.jit
+        def step(params, batch, t):
+            inputs = multi_view_unpack_batch(batch)
+            left = inputs["left_image_pyr"]
+            left = [left[0] + t] + list(left[1:])
+            out = mvsnet_forward(params, left, inputs["K_pyr"],
+                                 inputs["T_right_in_left"],
+                                 inputs["right_image_pyr"], config)
+            return jnp.sum(out["left_idepthmap_pyr"][0])
 
     float(step(params, batch, jnp.float32(0.0)))  # compile + warm
 
