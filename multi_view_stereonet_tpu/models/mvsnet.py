@@ -523,8 +523,11 @@ def _forward_impl(params, left_image_pyr, K_pyr, T_right_in_lefts,
     # Un-normalize by per-view baseline, then average over views (:615-627).
     b_hw = baseline[:, None, None]
     if do_refiners[4]:
+        # Concat at the refiner storage dtype: with a ("refiners", ...)
+        # stage override rdt is f32 even though the extractor ran bf16 --
+        # the image guidance must not be pre-rounded through bf16 then.
         guidance4 = jnp.concatenate(
-            [left_image_pyr[4].astype(left_feats4.dtype), left_feats4],
+            [left_image_pyr[4].astype(rdt), left_feats4.astype(rdt)],
             axis=-1)
         guidance4_bv = jnp.repeat(guidance4, V, axis=0)
         with prec("refiners"):

@@ -208,14 +208,9 @@ def _out_fold_3x3(w3: jnp.ndarray) -> jnp.ndarray:
     kernel (padding ((1, 1), (1, 1))) computing the 2x2 s2d pack of the
     conv's output: s2d-output po = do*2+dd at row i is conv output row
     2i+do, reading input rows 2i+do-1 .. 2i+do+1 -> tap do+kh off base
-    2i-1. Same tap map as the input-pack fold (_s2d_pack_index)."""
-    Ci, Co = w3.shape[2], w3.shape[3]
-    KH, KW, V = _s2d_pack_index()
-    g = w3[KH, KW]                                 # (4, 4, 4, Ci, Co)
-    g = jnp.where(jnp.asarray(V)[..., None, None], g,
-                  jnp.zeros((), w3.dtype))
-    g = jnp.transpose(g, (0, 1, 3, 2, 4))          # (4, 4, Ci, pout, Co)
-    return g.reshape(4, 4, Ci, 4 * Co)
+    2i-1. The tap map is identical to the input-pack fold -- only the
+    use-site stride/padding differs -- so delegate to s2d_kernel_packing."""
+    return s2d_kernel_packing(w3)
 
 
 def conv2d_stride2_s2d_out(params, x: jnp.ndarray) -> jnp.ndarray:
@@ -475,9 +470,13 @@ def upsample2x_to_s2d(x: jnp.ndarray) -> jnp.ndarray:
     """
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1)), mode="edge")[..., None]
     w = jnp.asarray(_up2x_s2d_kernel(), x.dtype)
+    # HIGHEST precision: this replaces a resize of the precision-sensitive
+    # idepth prior, which ops/resize.py pins to f32-exact contraction
+    # (CLAUDE.md invariant) -- the bf16 MXU default would truncate it.
     return jax.lax.conv_general_dilated(
         xp, w, window_strides=(1, 1), padding="VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=jax.lax.Precision.HIGHEST)
 
 
 def _refiner_delta_s2d(params, y: jnp.ndarray) -> jnp.ndarray:

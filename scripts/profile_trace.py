@@ -160,7 +160,13 @@ def main():
             b = dict(batch)
             b["left_image"] = batch["left_image"] + t
             p, _, loss, _ = train_step(params, opt_state, b)
-            return loss
+            # Keep every updated-param leaf live: returning only the loss
+            # lets XLA DCE the whole backward + optimizer update, which
+            # would silently turn this into a forward-only trace.
+            live = jax.tree_util.tree_reduce(
+                lambda a, leaf: a + jnp.sum(leaf.astype(jnp.float32)),
+                p, jnp.float32(0.0))
+            return loss + 1e-20 * live
     else:
         @jax.jit
         def step(params, batch, t):

@@ -225,7 +225,8 @@ def test_mvsnet_forward_chained_frontend_exact(params):
     T = jnp.asarray(T)
 
     out_a = mvsnet_forward(params, left_pyr, K_pyr, T, right_pyrs,
-                           MultiViewStereoNetConfig())
+                           MultiViewStereoNetConfig(
+                               use_s2d_chained_frontend=False))
     out_b = mvsnet_forward(params, left_pyr, K_pyr, T, right_pyrs,
                            MultiViewStereoNetConfig(
                                use_s2d_chained_frontend=True))
