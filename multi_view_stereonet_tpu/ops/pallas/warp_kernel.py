@@ -8,16 +8,21 @@ from a small (K x Kx) source band. Per tile:
 
   1. DMA the band image[ybase:ybase+K, xbase:xbase+Kx, :] into VMEM
      (dynamic offsets via scalar prefetch);
-  2. x-interpolation as ONE one-hot matmul on the MXU:
-     (8*128, Kx) @ (Kx, K*C) at float32-exact precision -- the one-hot
-     matrix carries the bilinear x-weights;
-  3. y-interpolation as a K-way select-accumulate on the VPU.
+  2. lane-rotate the sub-128 alignment slack away (the DMA base must be
+     128-lane aligned; a tpu dynamic rotate by ``xoff = floor(min ix) -
+     xbase`` re-bases the data) so the compute window narrows from
+     BAND_KX (384) to COMP_KX (256) lanes;
+  3. x-interpolation as ONE one-hot matmul on the MXU:
+     (8*128, COMP_KX) @ (COMP_KX, K*C) at float32-exact precision -- the
+     one-hot matrix carries the bilinear x-weights;
+  4. y-interpolation as a K-way select-accumulate on the VPU.
 
 Semantics match torch grid_sample(bilinear, border, align_corners=False)
 exactly (coords are pre-clamped outside; the kernel is pure resampling).
-Band bases are computed in XLA outside the kernel; when any tile's span
-exceeds the band (extreme perspective), the caller's ``lax.cond`` falls
-back to the XLA gather path, so results are always correct.
+Band bases are computed in XLA outside the kernel; dispatch is a
+three-way ``lax.switch``: narrow kernel (x-span <= COMP_KX-1 after the
+rotate, every realistic homography) -> full-band kernel (span <=
+BAND_KX-1-slack) -> XLA gather fallback, so results are always correct.
 """
 
 from __future__ import annotations
@@ -33,10 +38,12 @@ TILE_R = 16     # output rows per tile
 TILE_C = 128    # output cols per tile
 BAND_K = 32     # source rows in band (8-aligned base + slack + tile span)
 BAND_KX = 384   # source cols in band (128-aligned base + slack)
+COMP_KX = 256   # one-hot compute width after the slack rotate (see kernel)
 
 
-def _warp_kernel(ybase_ref, xbase_ref, ix_ref, iy_ref, img_hbm, out_ref,
-                 band, sem, *, C: int, exact: str, planar: bool):
+def _warp_kernel(ybase_ref, xbase_ref, xoff_ref, ix_ref, iy_ref, img_hbm,
+                 out_ref, band, sem, *, C: int, exact: str, planar: bool,
+                 comp_kx: int):
     # img_hbm is channels-first (B, C, H, W) so the band lands as
     # (C, BAND_K, BAND_KX) and every reshape below only merges/splits
     # leading dims (lane dim stays BAND_KX / C*K -- Mosaic-friendly).
@@ -54,14 +61,24 @@ def _warp_kernel(ybase_ref, xbase_ref, ix_ref, iy_ref, img_hbm, out_ref,
         band, sem)
     dma.start()
 
-    # Relative coordinates within the band.
-    ix = ix_ref[0] - xb.astype(jnp.float32)   # (TILE_R, TILE_C)
+    # Sub-128 slack rotate: the DMA base xb is 128-lane aligned, so up to
+    # 127 leading band lanes are alignment slack, not data. ``xoff``
+    # (= floor(min ix in tile) - xb, in [0, 128)) re-bases the compute:
+    # the band is lane-rotated left by xoff after the DMA and the one-hot
+    # x-interpolation runs at ``comp_kx`` (256) instead of BAND_KX (384)
+    # lanes -- 33% off both the Wx construction (VPU) and the
+    # interpolation matmul (MXU). comp_kx == BAND_KX disables the rotate
+    # (the wide fallback for tiles whose x-span exceeds COMP_KX - 1).
+    xo = xoff_ref[b, tid] if comp_kx < BAND_KX else 0
+
+    # Relative coordinates within the (rotated) band.
+    ix = ix_ref[0] - (xb + xo).astype(jnp.float32)   # (TILE_R, TILE_C)
     iy = iy_ref[0] - yb.astype(jnp.float32)
-    ix = jnp.clip(ix, 0.0, BAND_KX - 1.0)
+    ix = jnp.clip(ix, 0.0, comp_kx - 1.0)
     iy = jnp.clip(iy, 0.0, BAND_K - 1.0)
 
-    # One-hot x-interpolation matrix (TILE_R*TILE_C, BAND_KX), built in 3D
-    # (lane dim stays BAND_KX; only leading dims merge in the reshape).
+    # One-hot x-interpolation matrix (TILE_R*TILE_C, comp_kx), built in 3D
+    # (lane dim stays comp_kx; only leading dims merge in the reshape).
     #
     # Two constructions (measured on v5e, whole 480x640 warp):
     # - "hat" relu(1 - |col - ix|): float-only VPU ops, 0.74 ms. The x1
@@ -73,7 +90,7 @@ def _warp_kernel(ybase_ref, xbase_ref, ix_ref, iy_ref, img_hbm, out_ref,
     # the select construction; everything else takes the hat.
     n = TILE_R * TILE_C
     cols = jax.lax.broadcasted_iota(
-        jnp.int32, (TILE_R, TILE_C, BAND_KX), 2).astype(jnp.float32)
+        jnp.int32, (TILE_R, TILE_C, comp_kx), 2).astype(jnp.float32)
     if exact == "highest":
         x0f = jnp.floor(ix)[..., None]
         wx = ix[..., None] - x0f
@@ -81,7 +98,7 @@ def _warp_kernel(ybase_ref, xbase_ref, ix_ref, iy_ref, img_hbm, out_ref,
                + jnp.where(cols == x0f + 1.0, wx, 0.0))
     else:
         Wx3 = jax.nn.relu(1.0 - jnp.abs(cols - ix[..., None]))
-    Wx = Wx3.reshape(n, BAND_KX)
+    Wx = Wx3.reshape(n, comp_kx)
 
     dma.wait()
 
@@ -97,7 +114,13 @@ def _warp_kernel(ybase_ref, xbase_ref, ix_ref, iy_ref, img_hbm, out_ref,
     # x-interp: (n, Kx) x (C*K, Kx)^T -> (n, C*K), lane index = c*K + k.
     # The f32 cast is free in DEFAULT mode (the MXU truncates to bf16
     # again) and keeps Mosaic off mixed-dtype dots for bf16 images.
-    band2d = band[:].reshape(C * BAND_K, BAND_KX).astype(jnp.float32)
+    band2d = band[:].reshape(C * BAND_K, BAND_KX)
+    if comp_kx < BAND_KX:
+        # Lane-rotate the slack away (tpu dynamic rotate), then the first
+        # comp_kx lanes carry every texel the tile can touch.
+        band2d = pltpu.roll(band2d, (BAND_KX - xo) % BAND_KX, axis=1)
+        band2d = band2d[:, :comp_kx]
+    band2d = band2d.astype(jnp.float32)
     xi = jax.lax.dot_general(
         Wx, band2d, (((1,), (1,)), ((), ())),
         precision=precision,
@@ -148,9 +171,10 @@ def pallas_warp_supported(image_shape, grid_shape) -> bool:
             and H >= BAND_K and W >= BAND_KX)
 
 
-@functools.partial(jax.jit, static_argnames=("exact", "planar", "out_dtype"))
-def _pallas_resample(image, ix, iy, ybase, xbase, exact="highest",
-                     planar=False, out_dtype=None):
+@functools.partial(jax.jit, static_argnames=("exact", "planar", "out_dtype",
+                                              "comp_kx"))
+def _pallas_resample(image, ix, iy, ybase, xbase, xoff, exact="highest",
+                     planar=False, out_dtype=None, comp_kx=BAND_KX):
     if exact is True:
         exact = "highest"
     elif exact is False:
@@ -161,24 +185,24 @@ def _pallas_resample(image, ix, iy, ybase, xbase, exact="highest",
     nty, ntx = Ho // TILE_R, Wo // TILE_C
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,  # ybase, xbase
+        num_scalar_prefetch=3,  # ybase, xbase, xoff
         grid=(B, nty, ntx),
         in_specs=[
             pl.BlockSpec((1, TILE_R, TILE_C),
-                         lambda b, ty, tx, yb_, xb_: (b, ty, tx),
+                         lambda b, ty, tx, yb_, xb_, xo_: (b, ty, tx),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, TILE_R, TILE_C),
-                         lambda b, ty, tx, yb_, xb_: (b, ty, tx),
+                         lambda b, ty, tx, yb_, xb_, xo_: (b, ty, tx),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),  # image stays in HBM
         ],
         out_specs=(
             pl.BlockSpec((1, C, TILE_R, TILE_C),
-                         lambda b, ty, tx, yb_, xb_: (b, 0, ty, tx),
+                         lambda b, ty, tx, yb_, xb_, xo_: (b, 0, ty, tx),
                          memory_space=pltpu.VMEM)
             if planar else
             pl.BlockSpec((1, TILE_R, TILE_C, C),
-                         lambda b, ty, tx, yb_, xb_: (b, ty, tx, 0),
+                         lambda b, ty, tx, yb_, xb_, xo_: (b, ty, tx, 0),
                          memory_space=pltpu.VMEM)),
         scratch_shapes=[
             pltpu.VMEM((C, BAND_K, BAND_KX), image.dtype),
@@ -191,17 +215,27 @@ def _pallas_resample(image, ix, iy, ybase, xbase, exact="highest",
     image_chw = jnp.transpose(image, (0, 3, 1, 2))
     image_chw = jnp.pad(image_chw,
                         ((0, 0), (0, 0), (0, BAND_K), (0, BAND_KX)))
-    kernel = functools.partial(_warp_kernel, C=C, exact=exact, planar=planar)
+    kernel = functools.partial(_warp_kernel, C=C, exact=exact, planar=planar,
+                               comp_kx=comp_kx)
     out_shape = (B, C, Ho, Wo) if planar else (B, Ho, Wo, C)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(out_shape, out_dtype),
-    )(ybase, xbase, ix, iy, image_chw)
+    )(ybase, xbase, xoff, ix, iy, image_chw)
 
 
 def _band_bases(ix, iy, H, W):
-    """Per-tile band origins + whether every tile fits the band."""
+    """Per-tile band origins/offsets + band-fit predicates.
+
+    Returns (ybase, xbase, xoff, fits, fits_narrow):
+      ybase/xbase: (8, 128)-aligned band origins, (B, ntiles) int32;
+      xoff: sub-128 x slack (floor(xmin) - xbase, in [0, 128)) for the
+        kernel's compute rotate;
+      fits: every tile's span fits the full BAND_KX band;
+      fits_narrow: every tile's span also fits the rotated COMP_KX
+        compute window (narrow kernel valid).
+    """
     B, Ho, Wo = iy.shape
     nty, ntx = Ho // TILE_R, Wo // TILE_C
     iyt = iy.reshape(B, nty, TILE_R, ntx, TILE_C)
@@ -216,9 +250,14 @@ def _band_bases(ix, iy, H, W):
     # need a lower clip.
     ybase = jnp.maximum((jnp.floor(ymin).astype(jnp.int32) // 8) * 8, 0)
     xbase = jnp.maximum((jnp.floor(xmin).astype(jnp.int32) // 128) * 128, 0)
-    fits = (jnp.all(ymax - ybase.astype(jnp.float32) <= BAND_K - 1.0001)
-            & jnp.all(xmax - xbase.astype(jnp.float32) <= BAND_KX - 1.0001))
-    return ybase.reshape(B, -1), xbase.reshape(B, -1), fits
+    xoff = jnp.clip(jnp.floor(xmin).astype(jnp.int32) - xbase, 0, 127)
+    yfit = jnp.all(ymax - ybase.astype(jnp.float32) <= BAND_K - 1.0001)
+    fits = yfit & jnp.all(
+        xmax - xbase.astype(jnp.float32) <= BAND_KX - 1.0001)
+    fits_narrow = yfit & jnp.all(
+        xmax - (xbase + xoff).astype(jnp.float32) <= COMP_KX - 1.0001)
+    return (ybase.reshape(B, -1), xbase.reshape(B, -1),
+            xoff.reshape(B, -1), fits, fits_narrow)
 
 
 def _resample_value(image, grid, exact, planar=False, out_dtype=None):
@@ -241,11 +280,17 @@ def _resample_value(image, grid, exact, planar=False, out_dtype=None):
     out_dtype = out_dtype or image.dtype
     ix = _unnormalize_clamp(grid[..., 0], W)
     iy = _unnormalize_clamp(grid[..., 1], H)
-    ybase, xbase, fits = _band_bases(ix, iy, H, W)
+    ybase, xbase, xoff, fits, fits_narrow = _band_bases(ix, iy, H, W)
 
-    def fast(_):
-        return _pallas_resample(image, ix, iy, ybase, xbase, exact=exact,
-                                planar=planar, out_dtype=out_dtype)
+    def fast_narrow(_):
+        return _pallas_resample(image, ix, iy, ybase, xbase, xoff,
+                                exact=exact, planar=planar,
+                                out_dtype=out_dtype, comp_kx=COMP_KX)
+
+    def fast_wide(_):
+        return _pallas_resample(image, ix, iy, ybase, xbase, xoff,
+                                exact=exact, planar=planar,
+                                out_dtype=out_dtype, comp_kx=BAND_KX)
 
     def slow(_):
         # grid_sample's f32 interpolation weights promote bf16 images to
@@ -253,7 +298,12 @@ def _resample_value(image, grid, exact, planar=False, out_dtype=None):
         out = grid_sample(image, grid)[0].astype(out_dtype)
         return jnp.transpose(out, (0, 3, 1, 2)) if planar else out
 
-    out = jax.lax.cond(fits, fast, slow, None)
+    # Three-way span dispatch: the narrow kernel covers every realistic
+    # homography (x-span <= COMP_KX - 1 after the slack rotate); stronger
+    # perspective falls back to the full-band kernel, and only spans past
+    # BAND_KX - 1 pay the XLA gather.
+    idx = jnp.where(fits_narrow, 0, jnp.where(fits, 1, 2))
+    out = jax.lax.switch(idx, [fast_narrow, fast_wide, slow], None)
     return jnp.transpose(out, (0, 2, 3, 1)) if planar else out
 
 

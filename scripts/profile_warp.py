@@ -62,32 +62,35 @@ def main():
 
     timeit("homography_grid 480x640", lambda Hm_: homography_grid(Hm_, H, W))
 
+    from multi_view_stereonet_tpu.ops.pallas.warp_kernel import (
+        BAND_KX, COMP_KX)
+
     def bases_only(Hm_):
         grid = homography_grid(Hm_, H, W)
         ix = _unnormalize_clamp(grid[..., 0], W)
         iy = _unnormalize_clamp(grid[..., 1], H)
-        yb, xb, fits = _band_bases(ix, iy, H, W)
-        return jnp.sum(yb) + jnp.sum(xb) + fits.astype(jnp.int32)
+        yb, xb, xo, fits, fitsn = _band_bases(ix, iy, H, W)
+        return (jnp.sum(yb) + jnp.sum(xb) + jnp.sum(xo)
+                + fits.astype(jnp.int32) + fitsn.astype(jnp.int32))
 
     timeit("grid + band bases", bases_only)
 
-    def kernel_only(Hm_):
+    def kernel_only(Hm_, exact, comp_kx):
         grid = homography_grid(Hm_, H, W)
         ix = _unnormalize_clamp(grid[..., 0], W)
         iy = _unnormalize_clamp(grid[..., 1], H)
-        yb, xb, _ = _band_bases(ix, iy, H, W)
-        return _pallas_resample(image, ix, iy, yb, xb, exact="default")
+        yb, xb, xo, _, _ = _band_bases(ix, iy, H, W)
+        return _pallas_resample(image, ix, iy, yb, xb, xo, exact=exact,
+                                comp_kx=comp_kx)
 
-    timeit("grid + bases + kernel(default)", kernel_only)
-
-    def kernel_hi(Hm_):
-        grid = homography_grid(Hm_, H, W)
-        ix = _unnormalize_clamp(grid[..., 0], W)
-        iy = _unnormalize_clamp(grid[..., 1], H)
-        yb, xb, _ = _band_bases(ix, iy, H, W)
-        return _pallas_resample(image, ix, iy, yb, xb, exact="highest")
-
-    timeit("grid + bases + kernel(highest)", kernel_hi)
+    timeit("grid + bases + kernel(default, narrow)",
+           lambda Hm_: kernel_only(Hm_, "default", COMP_KX))
+    timeit("grid + bases + kernel(default, wide)",
+           lambda Hm_: kernel_only(Hm_, "default", BAND_KX))
+    timeit("grid + bases + kernel(highest, narrow)",
+           lambda Hm_: kernel_only(Hm_, "highest", COMP_KX))
+    timeit("grid + bases + kernel(highest, wide)",
+           lambda Hm_: kernel_only(Hm_, "highest", BAND_KX))
 
     timeit("full homography_warp_auto (default)",
            lambda Hm_: homography_warp_auto(image, Hm_, zero_invalid=True,

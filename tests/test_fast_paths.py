@@ -256,30 +256,95 @@ def test_pallas_warp_interpret_matches_gather():
 
     ix = _unnormalize_clamp(grid[..., 0], W)
     iy = _unnormalize_clamp(grid[..., 1], H)
-    yb, xb, fits = wk._band_bases(ix, iy, H, W)
-    assert bool(fits)
+    yb, xb, xoff, fits, fits_narrow = wk._band_bases(ix, iy, H, W)
+    assert bool(fits) and bool(fits_narrow)
     try:
         with pltpu.force_tpu_interpret_mode():
-            out = wk._pallas_resample(img, ix, iy, yb, xb, exact=True)
-            outp = wk._pallas_resample(img, ix, iy, yb, xb, exact=True,
-                                       planar=True)
+            out = wk._pallas_resample(img, ix, iy, yb, xb, xoff, exact=True,
+                                      comp_kx=wk.COMP_KX)
+            outw = wk._pallas_resample(img, ix, iy, yb, xb, xoff, exact=True)
+            outp = wk._pallas_resample(img, ix, iy, yb, xb, xoff, exact=True,
+                                       comp_kx=wk.COMP_KX, planar=True)
     except Exception as e:  # interpreter support varies across jax versions
         pytest.skip(f"pallas interpret mode unavailable: {e}")
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+    # Wide (full-band, rotate-free) kernel: same values as the narrow one.
+    np.testing.assert_array_equal(np.asarray(outw), np.asarray(out))
     # Planar output: same values through the (B, C, H, W) layout.
     np.testing.assert_array_equal(
         np.asarray(jnp.transpose(outp, (0, 2, 3, 1))), np.asarray(out))
     # bf16 output dtype: the f32 interpolation rounded once at the write.
     try:
         with pltpu.force_tpu_interpret_mode():
-            outb = wk._pallas_resample(img, ix, iy, yb, xb, exact=True,
+            outb = wk._pallas_resample(img, ix, iy, yb, xb, xoff, exact=True,
+                                       comp_kx=wk.COMP_KX,
                                        out_dtype=jnp.bfloat16)
     except Exception as e:
         pytest.skip(f"pallas interpret mode unavailable: {e}")
     assert outb.dtype == jnp.bfloat16
     np.testing.assert_array_equal(
         np.asarray(outb), np.asarray(out.astype(jnp.bfloat16)))
+
+
+def test_pallas_warp_span_dispatch_interpret():
+    """Span dispatch: a tile x-span past COMP_KX-1 classifies wide (the
+    full-band kernel handles it); a large sub-128 slack exercises the
+    narrow kernel's lane rotate. Both match the XLA gather."""
+    from multi_view_stereonet_tpu.ops.warp import grid_sample, _unnormalize_clamp
+    from multi_view_stereonet_tpu.ops.pallas import warp_kernel as wk
+    from jax.experimental.pallas import tpu as pltpu
+
+    rng = np.random.default_rng(7)
+    B, H, W, C = 1, 480, 640, 3
+    Ho, Wo = wk.TILE_R, wk.TILE_C  # one tile
+    img = jnp.asarray(rng.normal(size=(B, H, W, C)).astype(np.float32))
+
+    def make_grid(x0, x1):
+        ix = np.linspace(x0, x1, Wo, dtype=np.float32)[None, None, :]
+        iy = np.linspace(5.0, 20.0, Ho, dtype=np.float32)[None, :, None]
+        ix = np.broadcast_to(ix, (B, Ho, Wo))
+        iy = np.broadcast_to(iy, (B, Ho, Wo))
+        return jnp.asarray(np.stack([(2.0 * ix + 1.0) / W - 1.0,
+                                     (2.0 * iy + 1.0) / H - 1.0], axis=-1))
+
+    # Wide case: span 280 > COMP_KX-1 but fits the BAND_KX band.
+    grid_w = make_grid(10.3, 290.3)
+    ixc = _unnormalize_clamp(grid_w[..., 0], W)
+    iyc = _unnormalize_clamp(grid_w[..., 1], H)
+    yb, xb, xoff, fits, fits_narrow = wk._band_bases(ixc, iyc, H, W)
+    assert bool(fits) and not bool(fits_narrow)
+    ref_w, _ = grid_sample(img, grid_w)
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            out_w = wk._pallas_resample(img, ixc, iyc, yb, xb, xoff,
+                                        exact=True)  # comp_kx=BAND_KX
+            out_d = wk._resample_value(img, grid_w, exact="highest")
+    except Exception as e:
+        pytest.skip(f"pallas interpret mode unavailable: {e}")
+    np.testing.assert_allclose(np.asarray(out_w), np.asarray(ref_w),
+                               rtol=1e-5, atol=1e-5)
+    # The three-way dispatch routed to the wide kernel and agrees.
+    np.testing.assert_allclose(np.asarray(out_d), np.asarray(ref_w),
+                               rtol=1e-5, atol=1e-5)
+
+    # Narrow case with a large slack rotate: xmin=120.7 -> xoff=120,
+    # span 250 <= COMP_KX-1 after the rotate.
+    grid_n = make_grid(120.7, 370.7)
+    ixc = _unnormalize_clamp(grid_n[..., 0], W)
+    iyc = _unnormalize_clamp(grid_n[..., 1], H)
+    yb, xb, xoff, fits, fits_narrow = wk._band_bases(ixc, iyc, H, W)
+    assert bool(fits) and bool(fits_narrow)
+    assert int(np.max(np.asarray(xoff))) >= 100  # the rotate is exercised
+    ref_n, _ = grid_sample(img, grid_n)
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            out_n = wk._pallas_resample(img, ixc, iyc, yb, xb, xoff,
+                                        exact=True, comp_kx=wk.COMP_KX)
+    except Exception as e:
+        pytest.skip(f"pallas interpret mode unavailable: {e}")
+    np.testing.assert_allclose(np.asarray(out_n), np.asarray(ref_n),
+                               rtol=1e-5, atol=1e-5)
 
 
 @pytest.mark.slow
