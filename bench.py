@@ -59,7 +59,7 @@ def main():
 
     forward = make_forward(MultiViewStereoNetConfig())
 
-    def measure(B, iters):
+    def measure(B, iters, V=1):
         """Device-side loop timing: one dispatch covers ``iters`` forwards
         (host-side async timing is unreliable through remoted TPU runtimes);
         the per-iteration input perturbation defeats loop-invariant
@@ -67,7 +67,7 @@ def main():
         fixed dispatch+fetch round trip through the TPU relay (measured:
         the same loop costs 0.26 ms/iter at 100 iters but 0.026 ms/iter at
         1000), else per-frame time is overstated by ~25/iters ms."""
-        batch = {k: jnp.asarray(v) for k, v in _example_batch(B, 1, 480, 640).items()}
+        batch = {k: jnp.asarray(v) for k, v in _example_batch(B, V, 480, 640).items()}
 
         @jax.jit
         def loop(params, batch):
@@ -87,6 +87,7 @@ def main():
 
     fps_b1 = measure(1, 400)
     fps_b8 = measure(8, 60)
+    fps_v5 = measure(1, 150, V=5)  # 5-comparison-view config (5cmp split)
     forward = make_forward(MultiViewStereoNetConfig(compute_dtype="bfloat16"))
     fps_b1_bf16 = measure(1, 400)
     fps_b8_bf16 = measure(8, 60)
@@ -151,6 +152,7 @@ def main():
         "unit": "depthmaps/sec",
         "vs_baseline": round(fps_b1 / REFERENCE_FPS_ESTIMATE, 1),
         "batch8_throughput": round(fps_b8, 1),
+        "multiview_v5_throughput": round(fps_v5, 1),
         "bf16_batch1": round(fps_b1_bf16, 1),
         "batch8_bf16_throughput": round(fps_b8_bf16, 1),
         "ms_per_frame_b1": round(1000.0 / fps_b1, 2),

@@ -39,11 +39,36 @@ TILE_C = 128    # output cols per tile
 BAND_K = 32     # source rows in band (8-aligned base + slack + tile span)
 BAND_KX = 384   # source cols in band (128-aligned base + slack)
 COMP_KX = 256   # one-hot compute width after the slack rotate (see kernel)
+HALF_KX = 128   # per-half compute width in split-halves mode (see kernel)
+
+
+def _onehot_x(ix, cols_shape, exact):
+    """Bilinear x-weight matrix over the last-axis column index.
+
+    ix: (..., cols) relative source x per output pixel; returns
+    (..., cols_shape[-1]) one-hot interpolation weights (two nonzeros per
+    row). Two constructions (measured on v5e, whole 480x640 warp):
+    - "hat" relu(1 - |col - ix|): float-only VPU ops, 0.74 ms. The x1
+      weight is 1-(1-wx), i.e. within 1 ulp of wx -- far below the bf16
+      MXU truncation DEFAULT precision applies anyway.
+    - float-compare selects: bit-identical weights to the XLA gather
+      reference, 0.92 ms (int-compare selects lower much worse: 1.25 ms).
+    exact="highest" promises bit-parity with the XLA path, so it takes
+    the select construction; everything else takes the hat.
+    """
+    cols = jax.lax.broadcasted_iota(
+        jnp.int32, cols_shape, len(cols_shape) - 1).astype(jnp.float32)
+    if exact == "highest":
+        x0f = jnp.floor(ix)[..., None]
+        wx = ix[..., None] - x0f
+        return (jnp.where(cols == x0f, 1.0 - wx, 0.0)
+                + jnp.where(cols == x0f + 1.0, wx, 0.0))
+    return jax.nn.relu(1.0 - jnp.abs(cols - ix[..., None]))
 
 
 def _warp_kernel(ybase_ref, xbase_ref, xoff_ref, ix_ref, iy_ref, img_hbm,
                  out_ref, band, sem, *, C: int, exact: str, planar: bool,
-                 comp_kx: int):
+                 comp_kx: int, split_halves: bool = False):
     # img_hbm is channels-first (B, C, H, W) so the band lands as
     # (C, BAND_K, BAND_KX) and every reshape below only merges/splits
     # leading dims (lane dim stays BAND_KX / C*K -- Mosaic-friendly).
@@ -69,36 +94,32 @@ def _warp_kernel(ybase_ref, xbase_ref, xoff_ref, ix_ref, iy_ref, img_hbm,
     # lanes -- 33% off both the Wx construction (VPU) and the
     # interpolation matmul (MXU). comp_kx == BAND_KX disables the rotate
     # (the wide fallback for tiles whose x-span exceeds COMP_KX - 1).
-    xo = xoff_ref[b, tid] if comp_kx < BAND_KX else 0
-
-    # Relative coordinates within the (rotated) band.
-    ix = ix_ref[0] - (xb + xo).astype(jnp.float32)   # (TILE_R, TILE_C)
+    #
+    # ``split_halves`` goes further: the tile's two 64-col halves each get
+    # their own rotate (xoff is (B, ntiles*2)), so the compute window
+    # shrinks to HALF_KX=128 -- realistic homographies have ~64px
+    # per-half spans, where the full-tile window sits right at the 128
+    # boundary. Costs one extra band rotate per tile; halves the one-hot
+    # construction and the interpolation matmul again.
     iy = iy_ref[0] - yb.astype(jnp.float32)
-    ix = jnp.clip(ix, 0.0, comp_kx - 1.0)
     iy = jnp.clip(iy, 0.0, BAND_K - 1.0)
 
-    # One-hot x-interpolation matrix (TILE_R*TILE_C, comp_kx), built in 3D
-    # (lane dim stays comp_kx; only leading dims merge in the reshape).
-    #
-    # Two constructions (measured on v5e, whole 480x640 warp):
-    # - "hat" relu(1 - |col - ix|): float-only VPU ops, 0.74 ms. The x1
-    #   weight is 1-(1-wx), i.e. within 1 ulp of wx -- far below the bf16
-    #   MXU truncation DEFAULT precision applies anyway.
-    # - float-compare selects: bit-identical weights to the XLA gather
-    #   reference, 0.92 ms (int-compare selects lower much worse: 1.25 ms).
-    # exact="highest" promises bit-parity with the XLA path, so it takes
-    # the select construction; everything else takes the hat.
-    n = TILE_R * TILE_C
-    cols = jax.lax.broadcasted_iota(
-        jnp.int32, (TILE_R, TILE_C, comp_kx), 2).astype(jnp.float32)
-    if exact == "highest":
-        x0f = jnp.floor(ix)[..., None]
-        wx = ix[..., None] - x0f
-        Wx3 = (jnp.where(cols == x0f, 1.0 - wx, 0.0)
-               + jnp.where(cols == x0f + 1.0, wx, 0.0))
+    halfc = TILE_C // 2
+    if split_halves:
+        xo0 = xoff_ref[b, 2 * tid]
+        xo1 = xoff_ref[b, 2 * tid + 1]
+        ix0 = ix_ref[0][:, :halfc] - (xb + xo0).astype(jnp.float32)
+        ix1 = ix_ref[0][:, halfc:] - (xb + xo1).astype(jnp.float32)
+        ix0 = jnp.clip(ix0, 0.0, comp_kx - 1.0)
+        ix1 = jnp.clip(ix1, 0.0, comp_kx - 1.0)
+        Wx0 = _onehot_x(ix0, (TILE_R, halfc, comp_kx), exact)
+        Wx1 = _onehot_x(ix1, (TILE_R, halfc, comp_kx), exact)
     else:
-        Wx3 = jax.nn.relu(1.0 - jnp.abs(cols - ix[..., None]))
-    Wx = Wx3.reshape(n, comp_kx)
+        xo = xoff_ref[b, tid] if comp_kx < BAND_KX else 0
+        ix = ix_ref[0] - (xb + xo).astype(jnp.float32)   # (TILE_R, TILE_C)
+        ix = jnp.clip(ix, 0.0, comp_kx - 1.0)
+        Wx = _onehot_x(ix, (TILE_R, TILE_C, comp_kx),
+                       exact).reshape(TILE_R * TILE_C, comp_kx)
 
     dma.wait()
 
@@ -115,17 +136,31 @@ def _warp_kernel(ybase_ref, xbase_ref, xoff_ref, ix_ref, iy_ref, img_hbm,
     # The f32 cast is free in DEFAULT mode (the MXU truncates to bf16
     # again) and keeps Mosaic off mixed-dtype dots for bf16 images.
     band2d = band[:].reshape(C * BAND_K, BAND_KX)
-    if comp_kx < BAND_KX:
+
+    def rotated(offset):
         # Lane-rotate the slack away (tpu dynamic rotate), then the first
-        # comp_kx lanes carry every texel the tile can touch.
-        band2d = pltpu.roll(band2d, (BAND_KX - xo) % BAND_KX, axis=1)
-        band2d = band2d[:, :comp_kx]
-    band2d = band2d.astype(jnp.float32)
-    xi = jax.lax.dot_general(
-        Wx, band2d, (((1,), (1,)), ((), ())),
-        precision=precision,
-        preferred_element_type=jnp.float32)
-    xi3 = xi.reshape(TILE_R, TILE_C, C * BAND_K)
+        # comp_kx lanes carry every texel the (half-)tile can touch.
+        r = pltpu.roll(band2d, (BAND_KX - offset) % BAND_KX, axis=1)
+        return r[:, :comp_kx].astype(jnp.float32)
+
+    if split_halves:
+        xi_halves = []
+        for Wxh, xoh in ((Wx0, xo0), (Wx1, xo1)):
+            xih = jax.lax.dot_general(
+                Wxh.reshape(TILE_R * halfc, comp_kx), rotated(xoh),
+                (((1,), (1,)), ((), ())),
+                precision=precision,
+                preferred_element_type=jnp.float32)
+            xi_halves.append(xih.reshape(TILE_R, halfc, C * BAND_K))
+        xi3 = jnp.concatenate(xi_halves, axis=1)
+    else:
+        band2f = (rotated(xo) if comp_kx < BAND_KX
+                  else band2d.astype(jnp.float32))
+        xi = jax.lax.dot_general(
+            Wx, band2f, (((1,), (1,)), ((), ())),
+            precision=precision,
+            preferred_element_type=jnp.float32)
+        xi3 = xi.reshape(TILE_R, TILE_C, C * BAND_K)
 
     # y-interpolation weights along the c*K+k lane axis (k = lane % K),
     # same two constructions as Wx above.
@@ -155,7 +190,7 @@ def _warp_kernel(ybase_ref, xbase_ref, xoff_ref, ix_ref, iy_ref, img_hbm,
     rows = jax.lax.broadcasted_iota(jnp.int32, (C * BAND_K, C), 0)
     cols_c = jax.lax.broadcasted_iota(jnp.int32, (C * BAND_K, C), 1)
     S = jnp.where(rows // BAND_K == cols_c, 1.0, 0.0)
-    prod = (xi3 * Wy3).reshape(n, C * BAND_K)
+    prod = (xi3 * Wy3).reshape(TILE_R * TILE_C, C * BAND_K)
     out = jax.lax.dot_general(
         prod, S, (((1,), (0,)), ((), ())),
         precision=precision,
@@ -172,9 +207,10 @@ def pallas_warp_supported(image_shape, grid_shape) -> bool:
 
 
 @functools.partial(jax.jit, static_argnames=("exact", "planar", "out_dtype",
-                                              "comp_kx"))
+                                              "comp_kx", "split_halves"))
 def _pallas_resample(image, ix, iy, ybase, xbase, xoff, exact="highest",
-                     planar=False, out_dtype=None, comp_kx=BAND_KX):
+                     planar=False, out_dtype=None, comp_kx=BAND_KX,
+                     split_halves=False):
     if exact is True:
         exact = "highest"
     elif exact is False:
@@ -216,7 +252,7 @@ def _pallas_resample(image, ix, iy, ybase, xbase, xoff, exact="highest",
     image_chw = jnp.pad(image_chw,
                         ((0, 0), (0, 0), (0, BAND_K), (0, BAND_KX)))
     kernel = functools.partial(_warp_kernel, C=C, exact=exact, planar=planar,
-                               comp_kx=comp_kx)
+                               comp_kx=comp_kx, split_halves=split_halves)
     out_shape = (B, C, Ho, Wo) if planar else (B, Ho, Wo, C)
     return pl.pallas_call(
         kernel,
@@ -228,22 +264,29 @@ def _pallas_resample(image, ix, iy, ybase, xbase, xoff, exact="highest",
 def _band_bases(ix, iy, H, W):
     """Per-tile band origins/offsets + band-fit predicates.
 
-    Returns (ybase, xbase, xoff, fits, fits_narrow):
+    Returns (ybase, xbase, xoff, xoff_half, fits, fits_narrow, fits_half):
       ybase/xbase: (8, 128)-aligned band origins, (B, ntiles) int32;
       xoff: sub-128 x slack (floor(xmin) - xbase, in [0, 128)) for the
-        kernel's compute rotate;
+        kernel's compute rotate, (B, ntiles);
+      xoff_half: per-64-col-half rotate offsets (floor of each half's min
+        x minus xbase), (B, ntiles*2), for split-halves mode;
       fits: every tile's span fits the full BAND_KX band;
       fits_narrow: every tile's span also fits the rotated COMP_KX
-        compute window (narrow kernel valid).
+        compute window (narrow kernel valid);
+      fits_half: every half-tile's span fits the rotated HALF_KX window
+        AND the tile fits the band (split-halves kernel valid).
     """
     B, Ho, Wo = iy.shape
     nty, ntx = Ho // TILE_R, Wo // TILE_C
+    halfc = TILE_C // 2
     iyt = iy.reshape(B, nty, TILE_R, ntx, TILE_C)
-    ixt = ix.reshape(B, nty, TILE_R, ntx, TILE_C)
+    ixh = ix.reshape(B, nty, TILE_R, ntx, 2, halfc)
     ymin = jnp.min(iyt, axis=(2, 4))
     ymax = jnp.max(iyt, axis=(2, 4))
-    xmin = jnp.min(ixt, axis=(2, 4))
-    xmax = jnp.max(ixt, axis=(2, 4))
+    xmin_h = jnp.min(ixh, axis=(2, 5))   # (B, nty, ntx, 2)
+    xmax_h = jnp.max(ixh, axis=(2, 5))
+    xmin = jnp.min(xmin_h, axis=3)
+    xmax = jnp.max(xmax_h, axis=3)
     # Band origins rounded down to the (8, 128) HBM tile alignment so the
     # dynamic DMA offsets are provably aligned for Mosaic.
     # The kernel's image copy is padded by (BAND_K, BAND_KX), so bases only
@@ -251,13 +294,23 @@ def _band_bases(ix, iy, H, W):
     ybase = jnp.maximum((jnp.floor(ymin).astype(jnp.int32) // 8) * 8, 0)
     xbase = jnp.maximum((jnp.floor(xmin).astype(jnp.int32) // 128) * 128, 0)
     xoff = jnp.clip(jnp.floor(xmin).astype(jnp.int32) - xbase, 0, 127)
+    # Per-half rotate offsets can use the band's full headroom, but the
+    # rotated window must not wrap past the band end (offset + HALF_KX <=
+    # BAND_KX) -- guaranteed when fits holds and the half span fits.
+    xoff_half = jnp.clip(
+        jnp.floor(xmin_h).astype(jnp.int32) - xbase[..., None],
+        0, BAND_KX - HALF_KX)
     yfit = jnp.all(ymax - ybase.astype(jnp.float32) <= BAND_K - 1.0001)
     fits = yfit & jnp.all(
         xmax - xbase.astype(jnp.float32) <= BAND_KX - 1.0001)
     fits_narrow = yfit & jnp.all(
         xmax - (xbase + xoff).astype(jnp.float32) <= COMP_KX - 1.0001)
+    fits_half = fits & jnp.all(
+        xmax_h - (xbase[..., None] + xoff_half).astype(jnp.float32)
+        <= HALF_KX - 1.0001)
     return (ybase.reshape(B, -1), xbase.reshape(B, -1),
-            xoff.reshape(B, -1), fits, fits_narrow)
+            xoff.reshape(B, -1), xoff_half.reshape(B, -1),
+            fits, fits_narrow, fits_half)
 
 
 def _resample_value(image, grid, exact, planar=False, out_dtype=None):
@@ -280,7 +333,14 @@ def _resample_value(image, grid, exact, planar=False, out_dtype=None):
     out_dtype = out_dtype or image.dtype
     ix = _unnormalize_clamp(grid[..., 0], W)
     iy = _unnormalize_clamp(grid[..., 1], H)
-    ybase, xbase, xoff, fits, fits_narrow = _band_bases(ix, iy, H, W)
+    (ybase, xbase, xoff, xoff_half,
+     fits, fits_narrow, fits_half) = _band_bases(ix, iy, H, W)
+
+    def fast_half(_):
+        return _pallas_resample(image, ix, iy, ybase, xbase, xoff_half,
+                                exact=exact, planar=planar,
+                                out_dtype=out_dtype, comp_kx=HALF_KX,
+                                split_halves=True)
 
     def fast_narrow(_):
         return _pallas_resample(image, ix, iy, ybase, xbase, xoff,
@@ -298,12 +358,14 @@ def _resample_value(image, grid, exact, planar=False, out_dtype=None):
         out = grid_sample(image, grid)[0].astype(out_dtype)
         return jnp.transpose(out, (0, 3, 1, 2)) if planar else out
 
-    # Three-way span dispatch: the narrow kernel covers every realistic
-    # homography (x-span <= COMP_KX - 1 after the slack rotate); stronger
-    # perspective falls back to the full-band kernel, and only spans past
-    # BAND_KX - 1 pay the XLA gather.
-    idx = jnp.where(fits_narrow, 0, jnp.where(fits, 1, 2))
-    out = jax.lax.switch(idx, [fast_narrow, fast_wide, slow], None)
+    # Four-way span dispatch, narrowest compute window first: split-halves
+    # (per-64-col spans <= HALF_KX - 1 after per-half rotates, the common
+    # case for realistic homographies) -> narrow full-tile window ->
+    # full-band kernel -> XLA gather; results identical on every path.
+    idx = jnp.where(fits_half, 0,
+                    jnp.where(fits_narrow, 1, jnp.where(fits, 2, 3)))
+    out = jax.lax.switch(idx, [fast_half, fast_narrow, fast_wide, slow],
+                         None)
     return jnp.transpose(out, (0, 2, 3, 1)) if planar else out
 
 

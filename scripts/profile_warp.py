@@ -63,15 +63,16 @@ def main():
     timeit("homography_grid 480x640", lambda Hm_: homography_grid(Hm_, H, W))
 
     from multi_view_stereonet_tpu.ops.pallas.warp_kernel import (
-        BAND_KX, COMP_KX)
+        BAND_KX, COMP_KX, HALF_KX)
 
     def bases_only(Hm_):
         grid = homography_grid(Hm_, H, W)
         ix = _unnormalize_clamp(grid[..., 0], W)
         iy = _unnormalize_clamp(grid[..., 1], H)
-        yb, xb, xo, fits, fitsn = _band_bases(ix, iy, H, W)
-        return (jnp.sum(yb) + jnp.sum(xb) + jnp.sum(xo)
-                + fits.astype(jnp.int32) + fitsn.astype(jnp.int32))
+        yb, xb, xo, xo2, fits, fitsn, fitsh = _band_bases(ix, iy, H, W)
+        return (jnp.sum(yb) + jnp.sum(xb) + jnp.sum(xo) + jnp.sum(xo2)
+                + fits.astype(jnp.int32) + fitsn.astype(jnp.int32)
+                + fitsh.astype(jnp.int32))
 
     timeit("grid + band bases", bases_only)
 
@@ -79,14 +80,21 @@ def main():
         grid = homography_grid(Hm_, H, W)
         ix = _unnormalize_clamp(grid[..., 0], W)
         iy = _unnormalize_clamp(grid[..., 1], H)
-        yb, xb, xo, _, _ = _band_bases(ix, iy, H, W)
+        yb, xb, xo, xo2, _, _, _ = _band_bases(ix, iy, H, W)
+        if comp_kx == HALF_KX:
+            return _pallas_resample(image, ix, iy, yb, xb, xo2, exact=exact,
+                                    comp_kx=comp_kx, split_halves=True)
         return _pallas_resample(image, ix, iy, yb, xb, xo, exact=exact,
                                 comp_kx=comp_kx)
 
+    timeit("grid + bases + kernel(default, half)",
+           lambda Hm_: kernel_only(Hm_, "default", HALF_KX))
     timeit("grid + bases + kernel(default, narrow)",
            lambda Hm_: kernel_only(Hm_, "default", COMP_KX))
     timeit("grid + bases + kernel(default, wide)",
            lambda Hm_: kernel_only(Hm_, "default", BAND_KX))
+    timeit("grid + bases + kernel(highest, half)",
+           lambda Hm_: kernel_only(Hm_, "highest", HALF_KX))
     timeit("grid + bases + kernel(highest, narrow)",
            lambda Hm_: kernel_only(Hm_, "highest", COMP_KX))
     timeit("grid + bases + kernel(highest, wide)",

@@ -1,12 +1,15 @@
 #!/usr/bin/env python
-"""In-situ A/B of the warp kernel's narrow-compute rotate (dev tooling).
+"""In-situ A/B of the warp kernel's compute-window variants (dev tooling).
 
 Whole-forward device loops, interleaved rounds, min-of-N -- the same
-methodology as scripts/profile_routing.py. "wide" monkeypatches
-warp_kernel.COMP_KX to BAND_KX before tracing, which makes the narrow
-dispatch branch compile the original full-band kernel (rotate disabled,
-384-lane one-hot); "narrow" is the new default (256-lane compute after
-the slack rotate).
+methodology as scripts/profile_routing.py. Variants force a dispatch
+branch by masking the band-fit predicates that _resample_value switches
+on (all four kernels still compile per variant; only the selected branch
+executes):
+
+  half    per-64-col-half rotates, 128-lane windows (the new default)
+  narrow  full-tile rotate, 256-lane window
+  wide    rotate-free full 384-lane band (the round-1 kernel)
 """
 
 import os
@@ -39,12 +42,28 @@ def main():
     batch = jax.tree.map(jnp.asarray, _example_batch(B=B, V=V, H=480, W=640))
     config = MultiViewStereoNetConfig()
 
-    narrow_kx = wk.COMP_KX
-    variants = {"narrow": narrow_kx, "wide": wk.BAND_KX}
+    orig_bases = wk._band_bases
+
+    def masked_bases(kill_half, kill_narrow):
+        def bases(ix, iy, H, W):
+            yb, xb, xo, xo2, fits, fitsn, fitsh = orig_bases(ix, iy, H, W)
+            false = fits & (~fits)
+            if kill_half:
+                fitsh = false
+            if kill_narrow:
+                fitsn = false
+            return yb, xb, xo, xo2, fits, fitsn, fitsh
+        return bases
+
+    variants = {
+        "half": masked_bases(False, False),
+        "narrow": masked_bases(True, False),
+        "wide": masked_bases(True, True),
+    }
 
     loops, outs = {}, {}
-    for name, kx in variants.items():
-        wk.COMP_KX = kx  # read at trace time by _resample_value
+    for name, bases in variants.items():
+        wk._band_bases = bases  # read at trace time by _resample_value
 
         def step(params, batch, t):
             inputs = multi_view_unpack_batch(batch)
@@ -63,11 +82,11 @@ def main():
 
         loops[name] = jax.jit(loop).lower(params, batch).compile()
         outs[name] = float(jax.jit(step)(params, batch, jnp.float32(0.0)))
-        print(f"compiled {name} (COMP_KX={kx})", flush=True)
-    wk.COMP_KX = narrow_kx
+        print(f"compiled {name}", flush=True)
+    wk._band_bases = orig_bases
 
-    print(f"value check: narrow={outs['narrow']:.6f} wide={outs['wide']:.6f}",
-          flush=True)
+    print("value check: " + " ".join(
+        f"{k}={v:.6f}" for k, v in outs.items()), flush=True)
 
     best = {name: float("inf") for name in variants}
     for _ in range(6):

@@ -256,13 +256,17 @@ def test_pallas_warp_interpret_matches_gather():
 
     ix = _unnormalize_clamp(grid[..., 0], W)
     iy = _unnormalize_clamp(grid[..., 1], H)
-    yb, xb, xoff, fits, fits_narrow = wk._band_bases(ix, iy, H, W)
-    assert bool(fits) and bool(fits_narrow)
+    (yb, xb, xoff, xoff_half,
+     fits, fits_narrow, fits_half) = wk._band_bases(ix, iy, H, W)
+    assert bool(fits) and bool(fits_narrow) and bool(fits_half)
     try:
         with pltpu.force_tpu_interpret_mode():
             out = wk._pallas_resample(img, ix, iy, yb, xb, xoff, exact=True,
                                       comp_kx=wk.COMP_KX)
             outw = wk._pallas_resample(img, ix, iy, yb, xb, xoff, exact=True)
+            outh = wk._pallas_resample(img, ix, iy, yb, xb, xoff_half,
+                                       exact=True, comp_kx=wk.HALF_KX,
+                                       split_halves=True)
             outp = wk._pallas_resample(img, ix, iy, yb, xb, xoff, exact=True,
                                        comp_kx=wk.COMP_KX, planar=True)
     except Exception as e:  # interpreter support varies across jax versions
@@ -271,6 +275,8 @@ def test_pallas_warp_interpret_matches_gather():
                                rtol=1e-5, atol=1e-5)
     # Wide (full-band, rotate-free) kernel: same values as the narrow one.
     np.testing.assert_array_equal(np.asarray(outw), np.asarray(out))
+    # Split-halves kernel: same values through per-half rotates.
+    np.testing.assert_array_equal(np.asarray(outh), np.asarray(out))
     # Planar output: same values through the (B, C, H, W) layout.
     np.testing.assert_array_equal(
         np.asarray(jnp.transpose(outp, (0, 2, 3, 1))), np.asarray(out))
@@ -312,8 +318,9 @@ def test_pallas_warp_span_dispatch_interpret():
     grid_w = make_grid(10.3, 290.3)
     ixc = _unnormalize_clamp(grid_w[..., 0], W)
     iyc = _unnormalize_clamp(grid_w[..., 1], H)
-    yb, xb, xoff, fits, fits_narrow = wk._band_bases(ixc, iyc, H, W)
-    assert bool(fits) and not bool(fits_narrow)
+    yb, xb, xoff, _, fits, fits_narrow, fits_half = wk._band_bases(
+        ixc, iyc, H, W)
+    assert bool(fits) and not bool(fits_narrow) and not bool(fits_half)
     ref_w, _ = grid_sample(img, grid_w)
     try:
         with pltpu.force_tpu_interpret_mode():
@@ -324,27 +331,44 @@ def test_pallas_warp_span_dispatch_interpret():
         pytest.skip(f"pallas interpret mode unavailable: {e}")
     np.testing.assert_allclose(np.asarray(out_w), np.asarray(ref_w),
                                rtol=1e-5, atol=1e-5)
-    # The three-way dispatch routed to the wide kernel and agrees.
+    # The span dispatch routed to the wide kernel and agrees.
     np.testing.assert_allclose(np.asarray(out_d), np.asarray(ref_w),
                                rtol=1e-5, atol=1e-5)
 
     # Narrow case with a large slack rotate: xmin=120.7 -> xoff=120,
-    # span 250 <= COMP_KX-1 after the rotate.
+    # span 250 <= COMP_KX-1 after the rotate (per-half spans ~124 also
+    # fit the split-halves window; the direct call pins the narrow
+    # kernel, the dispatch takes the half branch -- same values).
     grid_n = make_grid(120.7, 370.7)
     ixc = _unnormalize_clamp(grid_n[..., 0], W)
     iyc = _unnormalize_clamp(grid_n[..., 1], H)
-    yb, xb, xoff, fits, fits_narrow = wk._band_bases(ixc, iyc, H, W)
-    assert bool(fits) and bool(fits_narrow)
+    yb, xb, xoff, _, fits, fits_narrow, fits_half = wk._band_bases(
+        ixc, iyc, H, W)
+    assert bool(fits) and bool(fits_narrow) and bool(fits_half)
     assert int(np.max(np.asarray(xoff))) >= 100  # the rotate is exercised
     ref_n, _ = grid_sample(img, grid_n)
     try:
         with pltpu.force_tpu_interpret_mode():
             out_n = wk._pallas_resample(img, ixc, iyc, yb, xb, xoff,
                                         exact=True, comp_kx=wk.COMP_KX)
+            out_nd = wk._resample_value(img, grid_n, exact="highest")
     except Exception as e:
         pytest.skip(f"pallas interpret mode unavailable: {e}")
     np.testing.assert_allclose(np.asarray(out_n), np.asarray(ref_n),
                                rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_nd), np.asarray(ref_n),
+                               rtol=1e-5, atol=1e-5)
+
+    # Middle branch: left half spans 200 (> HALF_KX-1) while the re-based
+    # tile span stays <= COMP_KX-1 -> fits_narrow without fits_half.
+    ix_piece = np.concatenate([
+        np.linspace(10.0, 210.0, Wo // 2, dtype=np.float32),
+        np.linspace(210.0, 240.0, Wo // 2, dtype=np.float32)])
+    ixp = jnp.asarray(np.broadcast_to(ix_piece[None, None, :], (B, Ho, Wo)))
+    iyp = _unnormalize_clamp(grid_n[..., 1], H)
+    _, _, _, _, fits, fits_narrow, fits_half = wk._band_bases(
+        ixp, iyp, H, W)
+    assert bool(fits) and bool(fits_narrow) and not bool(fits_half)
 
 
 @pytest.mark.slow
