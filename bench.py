@@ -72,8 +72,13 @@ def main():
         @jax.jit
         def loop(params, batch):
             def body(i, acc):
+                # Perturb BOTH sides: anything derived only from the right
+                # images (pyramid resizes, x V views) would otherwise be
+                # loop-invariant and hoistable out of the fori_loop.
                 b = dict(batch)
-                b["left_image"] = batch["left_image"] + i.astype(jnp.float32) * 1e-12
+                eps = i.astype(jnp.float32) * 1e-12
+                b["left_image"] = batch["left_image"] + eps
+                b["right_images"] = batch["right_images"] + eps
                 return acc + jnp.sum(forward(params, b))
             return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
 

@@ -9,20 +9,23 @@ from a small (K x Kx) source band. Per tile:
   1. DMA the band image[ybase:ybase+K, xbase:xbase+Kx, :] into VMEM
      (dynamic offsets via scalar prefetch);
   2. lane-rotate the sub-128 alignment slack away (the DMA base must be
-     128-lane aligned; a tpu dynamic rotate by ``xoff = floor(min ix) -
-     xbase`` re-bases the data) so the compute window narrows from
-     BAND_KX (384) to COMP_KX (256) lanes;
-  3. x-interpolation as ONE one-hot matmul on the MXU:
-     (8*128, COMP_KX) @ (COMP_KX, K*C) at float32-exact precision -- the
-     one-hot matrix carries the bilinear x-weights;
+     128-lane aligned; a tpu dynamic rotate by an ``xoff`` in [0, 128)
+     or per-64-col-half rotates re-base the data) so the compute window
+     narrows from BAND_KX (384) lanes to COMP_KX (256) or, with
+     independent per-half rotates, HALF_KX (128) lanes;
+  3. x-interpolation as one one-hot matmul on the MXU per (half-)tile:
+     (TILE_R*cols, window) @ (window, K*C) -- the one-hot matrix carries
+     the bilinear x-weights;
   4. y-interpolation as a K-way select-accumulate on the VPU.
 
 Semantics match torch grid_sample(bilinear, border, align_corners=False)
 exactly (coords are pre-clamped outside; the kernel is pure resampling).
 Band bases are computed in XLA outside the kernel; dispatch is a
-three-way ``lax.switch``: narrow kernel (x-span <= COMP_KX-1 after the
-rotate, every realistic homography) -> full-band kernel (span <=
-BAND_KX-1-slack) -> XLA gather fallback, so results are always correct.
+four-way ``lax.switch``, narrowest window first: split-halves kernel
+(per-half x-span <= HALF_KX-1 after per-half rotates, the common case
+for realistic homographies) -> narrow kernel (tile span <= COMP_KX-1
+after one rotate) -> full-band kernel (span <= BAND_KX-1-slack) -> XLA
+gather fallback, so results are always correct.
 """
 
 from __future__ import annotations

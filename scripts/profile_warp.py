@@ -76,6 +76,17 @@ def main():
 
     timeit("grid + band bases", bases_only)
 
+    # Guard: every timed kernel variant must actually be valid for this
+    # homography, else we'd time clipped (wrong-value) compute and the
+    # numbers could drive a bad routing decision. Checked once -- the
+    # loop's 1e-9 perturbation cannot move a tile span by a pixel.
+    g0 = homography_grid(Hm, H, W)
+    _, _, _, _, fits0, fitsn0, fitsh0 = _band_bases(
+        _unnormalize_clamp(g0[..., 0], W), _unnormalize_clamp(g0[..., 1], H),
+        H, W)
+    assert bool(fits0) and bool(fitsn0) and bool(fitsh0), (
+        "profile homography exceeds a kernel window; timings would be bogus")
+
     def kernel_only(Hm_, exact, comp_kx):
         grid = homography_grid(Hm_, H, W)
         ix = _unnormalize_clamp(grid[..., 0], W)

@@ -62,28 +62,33 @@ def main():
     }
 
     loops, outs = {}, {}
-    for name, bases in variants.items():
-        wk._band_bases = bases  # read at trace time by _resample_value
+    try:
+        for name, bases in variants.items():
+            wk._band_bases = bases  # read at trace time by _resample_value
 
-        def step(params, batch, t):
-            inputs = multi_view_unpack_batch(batch)
-            left = inputs["left_image_pyr"]
-            left = [left[0] + t] + list(left[1:])
-            out = mvsnet_forward(params, left, inputs["K_pyr"],
-                                 inputs["T_right_in_left"],
-                                 inputs["right_image_pyr"], config)
-            return jnp.sum(out["left_idepthmap_pyr"][0])
+            def step(params, batch, t):
+                inputs = multi_view_unpack_batch(batch)
+                left = inputs["left_image_pyr"]
+                left = [left[0] + t] + list(left[1:])
+                right = inputs["right_image_pyr"]
+                right = [right[0] + t] + list(right[1:])
+                out = mvsnet_forward(params, left, inputs["K_pyr"],
+                                     inputs["T_right_in_left"],
+                                     right, config)
+                return jnp.sum(out["left_idepthmap_pyr"][0])
 
-        def loop(params, batch):
-            def body(i, acc):
-                return acc + step(params, batch,
-                                  i.astype(jnp.float32) * 1e-9) * 1e-12
-            return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
+            def loop(params, batch):
+                def body(i, acc):
+                    return acc + step(params, batch,
+                                      i.astype(jnp.float32) * 1e-9) * 1e-12
+                return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
 
-        loops[name] = jax.jit(loop).lower(params, batch).compile()
-        outs[name] = float(jax.jit(step)(params, batch, jnp.float32(0.0)))
-        print(f"compiled {name}", flush=True)
-    wk._band_bases = orig_bases
+            loops[name] = jax.jit(loop).lower(params, batch).compile()
+            outs[name] = float(jax.jit(step)(params, batch, jnp.float32(0.0)))
+            print(f"compiled {name}", flush=True)
+    finally:
+        # A killed/failed compile must not leave the module-global patched.
+        wk._band_bases = orig_bases
 
     print("value check: " + " ".join(
         f"{k}={v:.6f}" for k, v in outs.items()), flush=True)

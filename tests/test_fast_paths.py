@@ -291,6 +291,24 @@ def test_pallas_warp_interpret_matches_gather():
     assert outb.dtype == jnp.bfloat16
     np.testing.assert_array_equal(
         np.asarray(outb), np.asarray(out.astype(jnp.bfloat16)))
+    # Split-halves x planar (the dispatch routes planar callers through
+    # the per-channel VPU output path of the split kernel) and
+    # split-halves at "default" precision (the hat one-hot construction):
+    # both must still match the gather.
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            outhp = wk._pallas_resample(img, ix, iy, yb, xb, xoff_half,
+                                        exact=True, comp_kx=wk.HALF_KX,
+                                        split_halves=True, planar=True)
+            outhd = wk._pallas_resample(img, ix, iy, yb, xb, xoff_half,
+                                        exact="default", comp_kx=wk.HALF_KX,
+                                        split_halves=True)
+    except Exception as e:
+        pytest.skip(f"pallas interpret mode unavailable: {e}")
+    np.testing.assert_array_equal(
+        np.asarray(jnp.transpose(outhp, (0, 2, 3, 1))), np.asarray(out))
+    np.testing.assert_allclose(np.asarray(outhd), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
 
 
 def test_pallas_warp_span_dispatch_interpret():
