@@ -60,6 +60,37 @@ def depth_to_space(x: jnp.ndarray) -> jnp.ndarray:
     return x.reshape(*lead, Hs * 2, Ws * 2, C)
 
 
+def depth_to_space_conv(x: jnp.ndarray) -> jnp.ndarray:
+    """``depth_to_space`` as one lhs-dilated 2x2 conv with a dirac kernel.
+
+    Exact (every tap weight is 1.0 and each output reads one input), but
+    lowers as a single TPU conv instead of the reshape/moveaxis pair --
+    XLA's lowering of the latter at the refiner output materializes a
+    relayout copy + reshape (~0.11 ms/frame at 480x640 f32, trace row
+    copy.1140/reshape.5207 in docs/ROOFLINE.md). Whether the conv form
+    is cheaper depends on the layouts XLA picks around it; route via an
+    in-situ A/B, never by assumption.
+    """
+    *lead, Hs, Ws, C4 = x.shape
+    C = C4 // 4
+    # out[2i+di, 2j+dj, c] = x[i, j, (2di+dj)*C + c] (channel order
+    # (di, dj, c), as produced by space_to_depth). With lhs_dilation 2
+    # and pad 1, kernel tap (a, b) feeds output subposition (1-a, 1-b).
+    w = np.zeros((2, 2, C4, C), dtype=np.float32)
+    for a in range(2):
+        for b in range(2):
+            for c in range(C):
+                w[a, b, (2 * (1 - a) + (1 - b)) * C + c, c] = 1.0
+    xb = x.reshape((-1,) + x.shape[-3:])
+    out = jax.lax.conv_general_dilated(
+        xb, jnp.asarray(w, x.dtype),
+        window_strides=(1, 1), padding=((1, 1), (1, 1)),
+        lhs_dilation=(2, 2),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=jax.lax.Precision.HIGHEST)
+    return out.reshape(*lead, Hs * 2, Ws * 2, C)
+
+
 @functools.lru_cache(maxsize=32)
 def _s2d_index(dilation: int):
     """Constant gather indices for the S2D kernel transform.

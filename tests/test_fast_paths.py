@@ -25,6 +25,19 @@ def test_s2d_roundtrip():
                                   np.asarray(x))
 
 
+def test_depth_to_space_conv_exact():
+    """The dirac-kernel conv form of d2s is bit-exact vs the reshape form
+    (incl. extra leading dims, as used on cost volumes)."""
+    from multi_view_stereonet_tpu.models.s2d import depth_to_space_conv
+
+    rng = np.random.default_rng(1)
+    for shape in [(2, 8, 12, 5), (1, 6, 10, 1), (3, 2, 4, 6, 2)]:
+        x = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+        s = space_to_depth(x)
+        np.testing.assert_array_equal(np.asarray(depth_to_space_conv(s)),
+                                      np.asarray(x))
+
+
 @pytest.mark.parametrize("cin", [4, 36])
 def test_conv2d_s2d_packing_exact(cin):
     """The 4x4/stride-2 folded conv == s2d pack + 3x3 s2d conv."""
