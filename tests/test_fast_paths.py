@@ -401,6 +401,31 @@ def test_pallas_warp_span_dispatch_interpret():
         ixp, iyp, H, W)
     assert bool(fits) and bool(fits_narrow) and not bool(fits_half)
 
+    # Split-halves at B>1 with per-batch-DIFFERENT grids: the per-half
+    # rotate offsets index as (b, 2*tid+h); a batched serving config
+    # (batch x views folded into B) must hit the right slots.
+    Bn = 3
+    grids = np.concatenate([np.asarray(make_grid(120.7 + 40.0 * b,
+                                                 370.7 + 40.0 * b))
+                            for b in range(Bn)], axis=0)
+    gridb = jnp.asarray(grids)
+    imgb = jnp.asarray(rng.normal(size=(Bn, H, W, C)).astype(np.float32))
+    ixb = _unnormalize_clamp(gridb[..., 0], W)
+    iyb = _unnormalize_clamp(gridb[..., 1], H)
+    yb, xb, _, xoff_half, fits, _, fits_half = wk._band_bases(
+        ixb, iyb, H, W)
+    assert bool(fits) and bool(fits_half)
+    ref_b, _ = grid_sample(imgb, gridb)
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            out_b = wk._pallas_resample(imgb, ixb, iyb, yb, xb, xoff_half,
+                                        exact=True, comp_kx=wk.HALF_KX,
+                                        split_halves=True)
+    except Exception as e:
+        pytest.skip(f"pallas interpret mode unavailable: {e}")
+    np.testing.assert_allclose(np.asarray(out_b), np.asarray(ref_b),
+                               rtol=1e-5, atol=1e-5)
+
 
 @pytest.mark.slow
 @pytest.mark.parametrize("N", [1, 2])
