@@ -104,16 +104,46 @@ def parse_xspace(buf):
                 if lf == 2:
                     lname = lv.decode("utf-8", "replace")
                 elif lf == 4:
-                    mid, dur = 0, 0
+                    mid, off, dur = 0, 0, 0
                     for ef, ewt, ev in _fields(lv):
                         if ef == 1:
                             mid = ev
+                        elif ef == 2:
+                            off = ev
                         elif ef == 3:
                             dur = ev
-                    events.append((ev_names.get(mid, str(mid)), dur))
+                    events.append((ev_names.get(mid, str(mid)), off, dur))
             parsed_lines.setdefault(lname, []).extend(events)
         planes.append((name, parsed_lines))
     return planes
+
+
+def self_times(events):
+    """De-nested per-op self time from (name, offset_ps, duration_ps).
+
+    Control-flow wrappers (``conditional``, ``while``) appear on the
+    "XLA Ops" line as events that CONTAIN their body ops; summing raw
+    durations double-counts the bodies (~0.7 ms/iter on the flagship
+    forward: the warp dispatch cond contains the Pallas call, the chain
+    while contains its scan body). A containment-stack walk charges each
+    op only the time not covered by its children.
+    """
+    events = sorted(events, key=lambda e: e[1])
+    stack = []  # [name, start, end, child_time]
+    out = collections.Counter()
+
+    def pop_until(off):
+        while stack and stack[-1][2] <= off:
+            nm, s, e, ch = stack.pop()
+            out[nm] += (e - s) - ch
+            if stack:
+                stack[-1][3] += (e - s)
+
+    for name, off, dur in events:
+        pop_until(off)
+        stack.append([name, off, off + dur, 0])
+    pop_until(float("inf"))
+    return out
 
 
 def main():
@@ -201,8 +231,7 @@ def main():
         for lname, events in lines.items():
             if lname != "XLA Ops":
                 continue
-            for name, dur in events:
-                per_op[name] += dur
+            per_op.update(self_times(events))
 
     if not per_op:
         print("no 'XLA Ops' line; planes/lines found:")
@@ -212,8 +241,14 @@ def main():
 
     n = args.iters
     total_ps = sum(per_op.values())
-    print(f"total device time {total_ps / 1e9 / n:.3f} ms/iter over "
-          f"{len(per_op)} distinct ops\n")
+    print(f"total device self-time {total_ps / 1e9 / n:.3f} ms/iter over "
+          f"{len(per_op)} distinct ops (control-flow wrappers de-nested)")
+    churn_kinds = ("copy", "reshape", "select_bitcast", "slice_bitcast",
+                   "broadcast_select", "copy_bitcast", "transpose")
+    churn = sum(ps for nm, ps in per_op.items()
+                if any(nm.lstrip("%").startswith(k) for k in churn_kinds))
+    print(f"layout churn (copy/reshape/select_bitcast/...): "
+          f"{churn / 1e9 / n:.3f} ms/iter\n")
 
     def bucket(name):
         base = name.split(".")[0].rstrip("0123456789_")
