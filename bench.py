@@ -27,6 +27,27 @@ PRETRAINED = ("/root/reference/pretrained/gta_sfm_150epochs/checkpoints/"
 
 
 def main():
+    # Watchdog: the axon TPU relay can hang device discovery/compiles
+    # indefinitely after an outage (observed 2026-08-18). Emit an honest
+    # error line instead of hanging the harness forever.
+    import threading
+
+    def _abort():
+        print(json.dumps({
+            "metric": "depthmaps/sec single v5e chip (480x640, 12 hyps, "
+                      "batch 1)",
+            "value": 0.0,
+            "unit": "depthmaps/sec",
+            "vs_baseline": 0.0,
+            "error": "TPU unreachable: device init/compile exceeded 30 min "
+                     "(relay hang)",
+        }), flush=True)
+        os._exit(3)
+
+    watchdog = threading.Timer(1800.0, _abort)
+    watchdog.daemon = True
+    watchdog.start()
+
     import jax
 
     jax.config.update("jax_compilation_cache_dir",
@@ -91,6 +112,7 @@ def main():
         return B * iters / min(times)
 
     fps_b1 = measure(1, 400)
+    watchdog.cancel()  # device demonstrably alive; no false abort later
     fps_b8 = measure(8, 60)
     fps_v5 = measure(1, 150, V=5)  # 5-comparison-view config (5cmp split)
     forward = make_forward(MultiViewStereoNetConfig(compute_dtype="bfloat16"))
