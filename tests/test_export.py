@@ -3,6 +3,8 @@ the live forward (the TorchScript-export analog, SURVEY L9 artifacts)."""
 
 import numpy as np
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 
@@ -53,6 +55,7 @@ def test_export_roundtrip_matches_live_forward(tmp_path):
     assert jax.default_backend() in reloaded.platforms
 
 
+@pytest.mark.slow
 def test_export_cli(tmp_path):
     """CLI path: weights dir (msgpack) -> artifact file."""
     from multi_view_stereonet_tpu.checkpoint.native import save_params
