@@ -29,11 +29,15 @@ from ..utils import depthmap_utils
 class DeMoNDataset:
     def __init__(self, data_dir, input_file, num_right_images=1,
                  num_left_images=0, transform=None, shuffle=True, seed=0,
-                 decode_backend="pil"):
+                 decode_backend="pil", load_groundtruth_depthmaps=True):
+        """``load_groundtruth_depthmaps``: skip the per-sample GT .npy
+        loads (1 + V full-res arrays) for serving paths that discard
+        them -- mirrors GTASfMMultiViewDataset's flag."""
         self.data_dir = data_dir
         self.num_right_images = num_right_images
         self.transform = transform
         self.decode_backend = _resolve_decode_backend(decode_backend)
+        self.load_groundtruth_depthmaps = load_groundtruth_depthmaps
 
         scenes = read_scene_list(os.path.join(data_dir, input_file)
                                  if not os.path.isabs(input_file) and
@@ -118,12 +122,14 @@ class DeMoNDataset:
                              for f in raw["right_filenames"]],
             "K": raw["K"].copy(),
             "T_right_in_left": [T.copy() for T in raw["T_right_in_left"]],
-            "left_depthmap_true": np.load(depth_path).astype(np.float32),
-            "right_depthmaps_true": [
+        }
+        if self.load_groundtruth_depthmaps:
+            sample["left_depthmap_true"] = np.load(
+                depth_path).astype(np.float32)
+            sample["right_depthmaps_true"] = [
                 np.load(os.path.splitext(f)[0] + ".npy").astype(np.float32)
                 for f in raw["right_filenames"]
-            ],
-        }
+            ]
         if self.transform:
             sample = self.transform(sample)
         return sample

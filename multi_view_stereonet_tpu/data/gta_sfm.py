@@ -89,9 +89,12 @@ class GTASfMMultiViewDataset:
 
     @staticmethod
     def depth_path(image_path):
+        # splitext, not str.replace: a substring replace would corrupt
+        # stems containing "jpg" and silently no-op on .png splits
+        # (create_mvs_split parameterizes the image extension).
         tokens = image_path.split(os.path.sep)
         tokens[-2] = "depth"
-        tokens[-1] = tokens[-1].replace("jpg", "npy")
+        tokens[-1] = os.path.splitext(tokens[-1])[0] + ".npy"
         return os.path.sep.join(tokens)
 
     def __getitem__(self, idx):

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import queue
 import threading
+import time
 
 import numpy as np
 
@@ -118,11 +119,24 @@ class BatchLoader:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
         failure = []
+        stop = threading.Event()
 
         def worker():
             try:
                 for batch in self._batches():
-                    q.put(batch)
+                    # Bounded put so an abandoned consumer (a caller
+                    # breaking out of the generator, e.g. a serving loop
+                    # stopping early) can't leave this thread blocked
+                    # forever against a full queue, pinning the prefetch
+                    # batches + in-flight decodes.
+                    while not stop.is_set():
+                        try:
+                            q.put(batch, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        return
             except BaseException as e:  # re-raised in the consumer
                 failure.append(e)
             finally:
@@ -130,12 +144,24 @@ class BatchLoader:
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            yield item
-        t.join()
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    break
+                yield item
+        finally:
+            # Runs on GeneratorExit too: unblock + reap the worker.
+            stop.set()
+            while True:
+                try:
+                    if q.get_nowait() is sentinel:
+                        break
+                except queue.Empty:
+                    if not t.is_alive():
+                        break
+                    time.sleep(0.01)
+            t.join()
         if failure:
             # A swallowed loader error would end the epoch early and let
             # eval publish averages over a silently truncated subset

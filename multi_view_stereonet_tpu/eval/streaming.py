@@ -125,14 +125,22 @@ def main():
         args.weights_dir, "..", "..", "params.yaml")
     cfg = load_params_yaml(params_file)
     transforms = get_testing_transforms(cfg)
+    # Same substring dispatch as eval.test_cli.load_data: an
+    # unrecognized split must error, not silently parse as DeMoN and
+    # serve 0 depthmaps.
     if "gta_sfm" in args.test_split:
         dataset = GTASfMMultiViewDataset(args.data_dir, args.test_split, 0,
                                          transforms,
                                          decode_backend=args.decode_backend)
-    else:
+    elif "demon" in args.test_split:
         dataset = DeMoNDataset(args.data_dir, args.test_split,
                                num_right_images=1, transform=transforms,
-                               decode_backend=args.decode_backend)
+                               decode_backend=args.decode_backend,
+                               load_groundtruth_depthmaps=False)
+    else:
+        raise ValueError(
+            f"cannot infer dataset type from split {args.test_split!r} "
+            "(expected a gta_sfm or DeMoN split name)")
 
     model_config = MultiViewStereoNetConfig(
         num_idepth_samples=cfg["num_idepth_samples"],

@@ -190,11 +190,18 @@ def run_eval(weights_dir, data_dir, test_split, output_dir="output",
                 depth_est = np.where(idepth_est > 0, 1.0 / np.where(
                     idepth_est > 0, idepth_est, 1.0), idepth_est)
 
+                # Reference protocol (test.py:221-235): skip ONLY when the
+                # TRUTH mask is empty; the estimate-validity intersection
+                # happens after. An image with valid GT but a fully
+                # out-of-range prediction therefore still produces a
+                # (nan) metrics row instead of being silently dropped --
+                # silently dropping the worst predictions would inflate
+                # the averages the baseline comparison rests on.
                 mask = (depth_true > min_depth) & (depth_true < max_depth)
-                mask &= (depth_est > min_depth) & (depth_est < max_depth)
                 if mask.sum() <= 0:
                     print(f"WARNING: No truth for image: {left_file}")
                     continue
+                mask &= (depth_est > min_depth) & (depth_est < max_depth)
 
                 if save_images:
                     from ..utils.visualization import save_idepth_images

@@ -9,7 +9,6 @@ from ..geometry import project_idepthmap
 from ..geometry.transforms import se3_inverse, mat3_inverse
 from ..geometry.projection import backproject_idepthmap, project_points
 from ..ops import grid_sample, resize_bilinear
-from .supervised import masked_mean
 from .photometric import reconstruction_photometric_loss
 
 

@@ -8,9 +8,17 @@ from ..ops import resize_bilinear
 
 
 def masked_mean(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
-    """Mean of x over elements where mask is True (jit-safe)."""
+    """Mean of x over elements where mask is True (jit-safe).
+
+    An empty mask contributes 0 instead of 0/0 = NaN -- the codebase-wide
+    empty-mask policy (see consistency._masked_mean_or_zero): a batch
+    with no valid GT, or a fully-occluded photometric mask, must not
+    poison the training step. Identical to the plain mean whenever the
+    mask is non-empty.
+    """
     m = mask.astype(x.dtype)
-    return jnp.sum(x * m) / jnp.sum(m)
+    count = jnp.sum(m)
+    return jnp.where(count > 0, jnp.sum(x * m) / jnp.maximum(count, 1.0), 0.0)
 
 
 def pseudo_huber_loss(truth: jnp.ndarray, pred: jnp.ndarray, scale: float = 2.0,

@@ -2,6 +2,7 @@
 synthetic on-disk tree, batch assembly shapes, transform behavior."""
 
 import os
+import time
 
 import numpy as np
 import pytest
@@ -144,3 +145,36 @@ def test_depthmap_utils_vs_reference(reference_modules):
     disp = du.depthmap_to_disparity(K, T, depth)
     disp_ref = ref_du.depthmap_to_disparity(K, T, depth)
     np.testing.assert_allclose(disp, disp_ref, rtol=1e-5, atol=1e-6)
+
+
+def test_batch_loader_early_exit_reaps_worker(gta_tree):
+    """Breaking out of a prefetching BatchLoader must not leave the
+    prefetch thread blocked in q.put forever (serving loops abandon the
+    generator mid-epoch)."""
+    import threading
+
+    data_dir, split = gta_tree
+    t = get_testing_transforms({"size": [64, 96]})
+    ds = GTASfMMultiViewDataset(data_dir, split, transform=t, shuffle=False)
+
+    before = threading.active_count()
+    for _ in range(3):
+        for batch in BatchLoader(ds, batch_size=1, prefetch=2):
+            break  # abandon mid-epoch with a full prefetch queue
+    deadline = time.time() + 10.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before, "prefetch thread leaked"
+
+
+def test_gta_depth_path_extension_handling():
+    """depth_path must key on the real extension (png splits exist; a
+    substring replace also corrupted stems containing 'jpg')."""
+    import os as _os
+
+    p = _os.path.sep.join(["scene", "color", "000001.png"])
+    assert GTASfMMultiViewDataset.depth_path(p) == _os.path.sep.join(
+        ["scene", "depth", "000001.npy"])
+    p = _os.path.sep.join(["scene", "color", "jpg001.jpg"])
+    assert GTASfMMultiViewDataset.depth_path(p) == _os.path.sep.join(
+        ["scene", "depth", "jpg001.npy"])

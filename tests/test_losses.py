@@ -212,3 +212,25 @@ def test_corner_and_gradient_losses_vs_reference(reference_modules):
         jnp.asarray(np.moveaxis(image, 1, -1)),
         jnp.asarray(np.moveaxis(feats, 1, -1))))
     np.testing.assert_allclose(out_g, ref_g, rtol=1e-4)
+
+
+def test_masked_mean_empty_mask_contributes_zero():
+    """Codebase-wide empty-mask policy: 0, not 0/0 = NaN (a batch with no
+    valid GT or a fully-occluded photometric mask must not poison the
+    step)."""
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 8, 8)))
+    empty = jnp.zeros((2, 8, 8), bool)
+    assert float(L.supervised.masked_mean(x, empty)) == 0.0
+
+    # supervised loss with an all-invalid GT stays finite (and zero).
+    truth = jnp.zeros((1, 8, 8))
+    pred = jnp.asarray(np.random.default_rng(1).uniform(0.1, 1, (1, 8, 8)))
+    val = float(L.supervised_idepthmap_loss(
+        pred, truth, jnp.zeros((1, 8, 8), bool)))
+    assert np.isfinite(val) and val == 0.0
+
+    # photometric reconstruction with a fully-invalid mask stays finite.
+    img = jnp.asarray(np.random.default_rng(2).uniform(0, 1, (1, 8, 8, 3)))
+    rec = float(L.reconstruction_photometric_loss(
+        img, img * 0.5, jnp.ones((1, 8, 8), bool)))
+    assert np.isfinite(rec) and rec == 0.0
