@@ -21,11 +21,15 @@ from a small (K x Kx) source band. Per tile:
 Semantics match torch grid_sample(bilinear, border, align_corners=False)
 exactly (coords are pre-clamped outside; the kernel is pure resampling).
 Band bases are computed in XLA outside the kernel; dispatch is a
-four-way ``lax.switch``, narrowest window first: split-halves kernel
-(per-half x-span <= HALF_KX-1 after per-half rotates, the common case
-for realistic homographies) -> narrow kernel (tile span <= COMP_KX-1
-after one rotate) -> full-band kernel (span <= BAND_KX-1-slack) -> XLA
-gather fallback, so results are always correct.
+four-way ``lax.switch``, narrowest window first: narrow kernel (tile
+span <= COMP_KX-1 after one rotate) -> full-band kernel (span <=
+BAND_KX-1-slack) -> XLA gather fallback, so results are always correct.
+The split-halves kernel (per-half x-span <= HALF_KX-1 after per-64-col
+rotates) exists and is exact, but the in-situ A/B measured it LOSING
+whole-forward (4.178 vs 3.835 ms at 480x640 b1: the per-half rotate +
+dispatch work outweighs the 2x narrower matmul), so it is off by
+default (``USE_SPLIT_HALVES``) and kept for re-measurement on future
+hardware/layouts (scripts/profile_warp_insitu.py).
 """
 
 from __future__ import annotations
@@ -43,6 +47,12 @@ BAND_K = 32     # source rows in band (8-aligned base + slack + tile span)
 BAND_KX = 384   # source cols in band (128-aligned base + slack)
 COMP_KX = 256   # one-hot compute width after the slack rotate (see kernel)
 HALF_KX = 128   # per-half compute width in split-halves mode (see kernel)
+
+# Route eligible tiles to the split-halves (128-lane) kernel. Measured
+# in situ 2026-08-18 (v5e, whole forward, interleaved loops): half 4.178
+# vs narrow 3.835 vs wide 3.866 ms/frame -- the half path loses, narrow
+# wins. Flag kept so the A/B can be re-run if layouts change.
+USE_SPLIT_HALVES = False
 
 
 def _onehot_x(ix, cols_shape, exact):
@@ -361,10 +371,10 @@ def _resample_value(image, grid, exact, planar=False, out_dtype=None):
         out = grid_sample(image, grid)[0].astype(out_dtype)
         return jnp.transpose(out, (0, 3, 1, 2)) if planar else out
 
-    # Four-way span dispatch, narrowest compute window first: split-halves
-    # (per-64-col spans <= HALF_KX - 1 after per-half rotates, the common
-    # case for realistic homographies) -> narrow full-tile window ->
-    # full-band kernel -> XLA gather; results identical on every path.
+    # Four-way span dispatch, narrowest compute window first; results
+    # identical on every path. The split-halves branch is gated off by
+    # default (USE_SPLIT_HALVES: measured slower in situ, see header).
+    fits_half = fits_half & USE_SPLIT_HALVES
     idx = jnp.where(fits_half, 0,
                     jnp.where(fits_narrow, 1, jnp.where(fits, 2, 3)))
     out = jax.lax.switch(idx, [fast_half, fast_narrow, fast_wide, slow],

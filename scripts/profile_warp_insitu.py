@@ -7,8 +7,9 @@ branch by masking the band-fit predicates that _resample_value switches
 on (all four kernels still compile per variant; only the selected branch
 executes):
 
-  half    per-64-col-half rotates, 128-lane windows (the new default)
-  narrow  full-tile rotate, 256-lane window
+  half    per-64-col-half rotates, 128-lane windows (measured LOSING
+          2026-08-18: 4.178 vs narrow 3.835 ms -- off by default)
+  narrow  full-tile rotate, 256-lane window (the default)
   wide    rotate-free full 384-lane band (the round-1 kernel)
 """
 
@@ -43,6 +44,10 @@ def main():
     config = MultiViewStereoNetConfig()
 
     orig_bases = wk._band_bases
+    orig_half_flag = wk.USE_SPLIT_HALVES
+    # The half branch is gated off by default; enable it so the "half"
+    # variant actually dispatches to the split-halves kernel.
+    wk.USE_SPLIT_HALVES = True
 
     def masked_bases(kill_half, kill_narrow):
         def bases(ix, iy, H, W):
@@ -87,8 +92,9 @@ def main():
             outs[name] = float(jax.jit(step)(params, batch, jnp.float32(0.0)))
             print(f"compiled {name}", flush=True)
     finally:
-        # A killed/failed compile must not leave the module-global patched.
+        # A killed/failed compile must not leave the module-globals patched.
         wk._band_bases = orig_bases
+        wk.USE_SPLIT_HALVES = orig_half_flag
 
     print("value check: " + " ".join(
         f"{k}={v:.6f}" for k, v in outs.items()), flush=True)
