@@ -369,7 +369,8 @@ def test_pallas_warp_span_dispatch_interpret():
     # Narrow case with a large slack rotate: xmin=120.7 -> xoff=120,
     # span 250 <= COMP_KX-1 after the rotate (per-half spans ~124 also
     # fit the split-halves window; the direct call pins the narrow
-    # kernel, the dispatch takes the half branch -- same values).
+    # kernel, and the dispatch also takes narrow -- the half branch is
+    # gated off by default, wk.USE_SPLIT_HALVES -- same values).
     grid_n = make_grid(120.7, 370.7)
     ixc = _unnormalize_clamp(grid_n[..., 0], W)
     iyc = _unnormalize_clamp(grid_n[..., 1], H)
