@@ -64,9 +64,19 @@ def main():
 
     rows = int(os.environ.get("ACC_ROWS", 480))
     cols = int(os.environ.get("ACC_COLS", 640))
+    # ACC_SCENE=slanted tilts the scene plane so GT depth varies ~2x across
+    # the image (non-degenerate accuracy evidence; default stays the
+    # fronto-parallel plane bench.py re-measures). ACC_COMPARISONS=N makes
+    # N-view split lines (the reference's *_Ncmps_test.txt analog).
+    scene = os.environ.get("ACC_SCENE", "plane")
+    normal = (0.35, 0.25, 1.0) if scene == "slanted" else None
+    comparisons = int(os.environ.get("ACC_COMPARISONS", 1))
     root = tempfile.mkdtemp(prefix="accspeed_")
     data_dir, split = make_gta_sfm_tree(root, rows=rows, cols=cols,
-                                        frames=4, num_sequences=2)
+                                        frames=max(4, comparisons + 2),
+                                        num_sequences=2,
+                                        comparisons=comparisons,
+                                        plane_normal=normal)
     params = load_any_params(PRETRAINED)
 
     tf = get_testing_transforms({"size": [rows, cols]})
@@ -86,7 +96,7 @@ def main():
         return out["left_idepthmap_pyr"][0] / inputs["baseline"][:, None, None]
 
     bench_batch = {k: jnp.asarray(v)
-                   for k, v in _example_batch(1, 1, 480, 640).items()}
+                   for k, v in _example_batch(1, comparisons, 480, 640).items()}
 
     print(f"{'config':24s} {'abs_rel':>9s} {'max_dev%':>9s} "
           f"{'ms_b1':>7s} {'dm/s':>6s}", flush=True)

@@ -30,21 +30,31 @@ def _camera(rows, cols):
     K[1, 2] = (rows - 1) / 2.0 + 0.5
     return K
 
-def _render_view(texture, tex_K, K, rows, cols, T_cam, plane_depth):
-    """Render a (rows, cols) view with intrinsics K of the plane
-    z = plane_depth (world frame) from camera pose T_cam (camera-in-world).
-    The world camera at identity with intrinsics tex_K sees ``texture``."""
-    # Homography from this camera's pixels to world-camera pixels:
-    # x_world = R x_cam + t;   plane at depth d in world frame.
+def _render_view(texture, tex_K, K, rows, cols, T_cam, plane_depth,
+                 plane_normal=None):
+    """Render a (rows, cols) view with intrinsics K of the world-frame plane
+    {X : n.X = plane_depth * n_z-normalization} from camera pose T_cam
+    (camera-in-world). ``plane_normal`` None means fronto-parallel
+    (z = plane_depth); otherwise the plane passes through
+    (0, 0, plane_depth) with that normal, so depth VARIES across the image
+    (exercises the cost volume/refiners away from the constant-depth
+    degenerate case). The world camera at identity with intrinsics tex_K
+    sees ``texture``."""
     T_wc = T_cam  # camera-in-world = transform cam coords to world coords
     Rwc = T_wc[:3, :3]
     twc = T_wc[:3, 3]
-    # point on plane: X_w = lambda * (Rwc K^-1 u_c) + twc with X_w.z = d
+    if plane_normal is None:
+        n = np.array([0.0, 0.0, 1.0])
+    else:
+        n = np.asarray(plane_normal, np.float64)
+        n = n / np.linalg.norm(n)
+    d = n[2] * plane_depth  # plane through (0, 0, plane_depth)
+    # point on plane: X_w = lambda * (Rwc K^-1 u_c) + twc with n.X_w = d
     Kinv = np.linalg.inv(K)
     ys, xs = np.mgrid[0:rows, 0:cols]
     pix = np.stack([xs.ravel(), ys.ravel(), np.ones(rows * cols)], axis=0)
     rays = Rwc @ (Kinv @ pix)
-    lam = (plane_depth - twc[2]) / rays[2]
+    lam = (d - n @ twc) / (n @ rays)
     Xw = rays * lam + twc[:, None]
     uw = tex_K @ Xw
     uw = uw[:2] / uw[2]
@@ -54,8 +64,8 @@ def _render_view(texture, tex_K, K, rows, cols, T_cam, plane_depth):
     y = np.clip(uw[1], 0, tex_rows - 1)
     x0 = np.floor(x).astype(int)
     y0 = np.floor(y).astype(int)
-    x1 = np.minimum(x0 + 1, cols - 1)
-    y1 = np.minimum(y0 + 1, rows - 1)
+    x1 = np.minimum(x0 + 1, tex_cols - 1)
+    y1 = np.minimum(y0 + 1, tex_rows - 1)
     wx = (x - x0)[:, None]
     wy = (y - y0)[:, None]
     tex = texture.reshape(-1, 3).astype(np.float64)
@@ -70,12 +80,15 @@ def _render_view(texture, tex_K, K, rows, cols, T_cam, plane_depth):
 
 
 def make_gta_sfm_tree(root, num_sequences=2, frames=4, rows=96, cols=128,
-                      plane_depth=8.0, seed=0, comparisons=1):
+                      plane_depth=8.0, seed=0, comparisons=1,
+                      plane_normal=None):
     """Write a GTA-SfM-layout tree + a multi-view split file.
 
     ``comparisons`` controls the number of comparison views per split line
-    (the reference's *_Ncmps_test.txt variants). Returns (data_dir,
-    split_path).
+    (the reference's *_Ncmps_test.txt variants). ``plane_normal`` tilts the
+    scene plane (None = fronto-parallel constant depth; e.g. (0.35, 0.25, 1)
+    gives GT depth varying ~2x across the image -- a non-degenerate scene
+    for accuracy measurements). Returns (data_dir, split_path).
     """
     rng = np.random.default_rng(seed)
     data_dir = os.path.join(root, "data")
@@ -100,7 +113,8 @@ def make_gta_sfm_tree(root, num_sequences=2, frames=4, rows=96, cols=128,
             T_cam[0, 3] = 0.4 * f + rng.uniform(-0.02, 0.02)
             T_cam[1, 3] = rng.uniform(-0.05, 0.05)
             img, depth = _render_view(texture, K_true, K_true, rows, cols,
-                                      T_cam, plane_depth)
+                                      T_cam, plane_depth,
+                                      plane_normal=plane_normal)
             name = f"{f:06d}"
             Image.fromarray(img).save(os.path.join(cdir, name + ".jpg"),
                                       quality=95)

@@ -178,3 +178,42 @@ def test_gta_depth_path_extension_handling():
     p = _os.path.sep.join(["scene", "color", "jpg001.jpg"])
     assert GTASfMMultiViewDataset.depth_path(p) == _os.path.sep.join(
         ["scene", "depth", "jpg001.npy"])
+
+
+def test_slanted_scene_groundtruth_geometry(tmp_path):
+    """The tilted-plane synthetic scene (plane_normal) produces GT depth
+    that (a) varies substantially across the image -- the non-degenerate
+    accuracy scene used by scripts/accuracy_speed.py -- and (b) is
+    geometrically exact: every backprojected point lies on the plane
+    through (0, 0, plane_depth) with the requested normal, in every view."""
+    normal = np.array([0.35, 0.25, 1.0])
+    depth0 = 8.0
+    data_dir, split = make_gta_sfm_tree(
+        str(tmp_path), num_sequences=1, frames=3, rows=48, cols=64,
+        plane_depth=depth0, plane_normal=normal)
+    n = normal / np.linalg.norm(normal)
+    d = n[2] * depth0
+
+    ds = GTASfMMultiViewDataset(data_dir, split, transform=None,
+                                shuffle=False,
+                                load_groundtruth_depthmaps=True)
+    for idx in range(len(ds)):
+        sample = ds[idx]
+        depth = np.asarray(sample["left_depthmap_true"])
+        assert depth.max() / depth.min() > 1.5, "depth should vary >= 1.5x"
+        # Backproject with the (already -0.5-fixed) loader intrinsics and
+        # the camera-in-world pose; check the plane equation.
+        K = np.asarray(sample["K"])[:3, :3]
+        # ds poses: T_right_in_left chains off the stored camera-in-world
+        # poses; recover this view's camera-in-world from the raw file.
+        seq_dir = os.path.join(data_dir, "test", "seq00")
+        rows_txt = np.loadtxt(os.path.join(seq_dir, "poses.txt"),
+                              skiprows=1)
+        T_cam = rows_txt[idx][1:].reshape(4, 4)
+        r, c = depth.shape
+        ys, xs = np.mgrid[0:r, 0:c]
+        pix = np.stack([xs.ravel(), ys.ravel(), np.ones(r * c)])
+        Xc = np.linalg.inv(K) @ pix * depth.ravel()
+        Xw = T_cam[:3, :3] @ Xc + T_cam[:3, 3:4]
+        residual = np.abs(n @ Xw - d)
+        assert residual.max() < 1e-3, residual.max()

@@ -136,6 +136,22 @@ def test_forward_parity_no_filter_no_refiners(reference_modules, pretrained_sd):
 
 
 @pytest.mark.slow
+def test_forward_parity_pretrained_non16_size(reference_modules, pretrained_sd):
+    """Golden parity at a resolution that is NOT a multiple of 16.
+
+    Forces every TPU-fast-path auto-fallback at once: the s2d chained
+    frontend (needs H, W % 16 == 0), the s2d cost filter (odd level-4
+    dims: 72x88 -> 5x6 at level 4), and the s2d refiners at the odd
+    pyramid levels (9x11 at level 3). Pins that the fallback routing
+    composes correctly through the whole forward, not just per-op.
+    """
+    left, rights, K, T = make_inputs(B=1, V=1, H=72, W=88, seed=4)
+    ref_out = torch_forward(reference_modules, pretrained_sd, left, rights, K, T)
+    jax_out = jax_forward(pretrained_sd, left, rights, K, T)
+    assert_outputs_close(jax_out, ref_out)
+
+
+@pytest.mark.slow
 def test_forward_parity_random_weights(reference_modules):
     """Fresh torch init exported to JAX: exercises every parameter mapping."""
     import torch
