@@ -14,5 +14,13 @@ Axes:
 """
 
 from .mesh import make_mesh, batch_spec, replicated, shard_batch
+from .distributed import (
+    initialize, is_main_process, make_global_mesh, local_shard_indices,
+    ShardedDataset, global_batch,
+)
 
-__all__ = ["make_mesh", "batch_spec", "replicated", "shard_batch"]
+__all__ = [
+    "make_mesh", "batch_spec", "replicated", "shard_batch",
+    "initialize", "is_main_process", "make_global_mesh",
+    "local_shard_indices", "ShardedDataset", "global_batch",
+]

@@ -33,7 +33,11 @@ from ..data import (
 )
 from ..losses import LossConfig
 from ..models import MultiViewStereoNetConfig, init_mvsnet, mvsnet_forward
-from ..parallel import make_mesh, shard_batch, replicated
+from ..parallel import (
+    make_mesh, shard_batch, replicated,
+    initialize as distributed_initialize, is_main_process,
+    make_global_mesh, ShardedDataset, global_batch,
+)
 from ..checkpoint import native as ckpt
 from .config import load_params_yaml
 from .pipeline import multi_view_unpack_batch
@@ -136,9 +140,24 @@ def train(params_cfg, data_dir, train_split, val_split, output_dir,
     key = set_seeds(params_cfg["seed"])
     rng = np.random.default_rng(params_cfg["seed"])
 
+    # Multi-host: every process runs this same function; ``batch_size``
+    # stays the GLOBAL batch (sharded over all devices of all hosts, like
+    # the single-host mesh shards it over local devices). Each process
+    # loads its strided shard of the split and 1/process_count of the
+    # batch; side effects (logs, plots, checkpoints) happen on process 0.
+    n_proc = jax.process_count()
+    is_main = is_main_process()
+    batch_size = params_cfg["batch_size"]
+    if batch_size % n_proc != 0:
+        raise ValueError(f"batch_size {batch_size} must be divisible by "
+                         f"the process count {n_proc}")
+    local_batch = batch_size // n_proc
+
     dataset = make_dataset(params_cfg, data_dir, train_split, True,
                            params_cfg["num_train_images"], rng)
-    loader = BatchLoader(dataset, params_cfg["batch_size"],
+    if n_proc > 1:
+        dataset = ShardedDataset(dataset)
+    loader = BatchLoader(dataset, local_batch,
                          shuffle=params_cfg["shuffle"], seed=params_cfg["seed"])
     steps_per_epoch = max(len(loader), 1)
 
@@ -162,22 +181,29 @@ def train(params_cfg, data_dir, train_split, val_split, output_dir,
     resume_step = 0
     if prev:
         params = ckpt.load_params(prev, template=params)
-        print(f"resumed params from {prev}")
+        if is_main:
+            print(f"resumed params from {prev}")
     elif latest is not None:
         state = ckpt.load_train_state(ckpt_root, latest, {
             "params": params, "opt_state": opt_state, "step": np.asarray(0)})
         params, opt_state = state["params"], state["opt_state"]
         start_epoch = latest + 1
         resume_step = int(state["step"])
-        print(f"resumed from epoch {latest} (step {resume_step})")
+        if is_main:
+            print(f"resumed from epoch {latest} (step {resume_step})")
 
-    print(f"model parameters: {count_parameters(params)}")
+    if is_main:
+        print(f"model parameters: {count_parameters(params)}")
 
-    mesh = make_mesh(view=1)
+    mesh = make_global_mesh(view=1) if n_proc > 1 else make_mesh(view=1)
     rep = replicated(mesh)
     params = jax.device_put(params, rep)
     opt_state = jax.device_put(opt_state, rep)
     n_data = mesh.devices.size
+    if n_proc > 1 and batch_size % n_data != 0:
+        raise ValueError(
+            f"multi-host training needs batch_size ({batch_size}) divisible "
+            f"by the global device count ({n_data})")
 
     jit_step = jax.jit(train_step, donate_argnums=(0, 1))
     val_step = (make_val_step(model_config, loss_config)
@@ -216,7 +242,9 @@ def train(params_cfg, data_dir, train_split, val_split, output_dir,
                     if "right_depthmap_true" in batch:
                         batch["right_depthmap_true"] = batch["right_depthmap_true"][:, 0]
                     batch["T_right_in_left"] = batch["T_right_in_left"][:, 0]
-                if params_cfg["batch_size"] % n_data == 0 and n_data > 1:
+                if n_proc > 1:
+                    jbatch = global_batch(mesh, batch)
+                elif batch_size % n_data == 0 and n_data > 1:
                     jbatch = shard_batch(mesh, batch)
                 else:
                     jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
@@ -230,36 +258,42 @@ def train(params_cfg, data_dir, train_split, val_split, output_dir,
                     jax.block_until_ready(loss)
                     _prof.close()
                     profile_dir = None
-                if step_count % params_cfg["print_freq"] == 0:
+                if is_main and step_count % params_cfg["print_freq"] == 0:
                     lossf = float(loss)
                     print(f"epoch {epoch} batch {batch_idx} step {step_count} "
                           f"loss {lossf:.4f}")
                     log_losses(epoch, batch_idx, step_count, lossf,
                                jax.device_get(loss_dict), loss_file)
-                if params_cfg["plot_freq"] and step_count % params_cfg["plot_freq"] == 0:
+                if (is_main and params_cfg["plot_freq"]
+                        and step_count % params_cfg["plot_freq"] == 0):
                     plot_losses(loss_file, os.path.join(output_dir, "plots"))
-                if (params_cfg["debug_image_freq"]
+                if (is_main and params_cfg["debug_image_freq"]
                         and step_count % params_cfg["debug_image_freq"] == 0):
                     # Always from the V-axis batch: the two-view recipe
                     # pops right_images from the adapted copy.
                     inputs = multi_view_unpack_batch(
                         {k: jnp.asarray(v) for k, v in mv_batch.items()})
-                    outputs = debug_forward(params, inputs)
+                    dparams = jax.device_get(params) if n_proc > 1 else params
+                    outputs = debug_forward(dparams, inputs)
                     inputs["left_filenames"] = names
                     log_debug_images(epoch, step_count, 0, inputs,
                                      jax.device_get(outputs), debug_dir)
                 if max_steps and step_count >= max_steps:
                     break
 
-            if val_loader is not None:
-                val_loss, metrics = validate(params, val_loader, val_step)
+            if val_loader is not None and is_main:
+                # Validation has no collectives: process 0 runs it alone on
+                # a host-local copy of the (replicated) params.
+                vparams = jax.device_get(params) if n_proc > 1 else params
+                val_loss, metrics = validate(vparams, val_loader, val_step)
                 log_validation_metrics(epoch, val_loss, metrics, val_file)
                 print(f"epoch {epoch} validation loss {val_loss:.4f} {metrics}")
 
-            path = ckpt.save_train_state(ckpt_root, epoch, params, opt_state,
-                                         step_count)
-            print(f"epoch {epoch} done in {time.time() - t_epoch:.1f}s; "
-                  f"checkpoint: {path}")
+            if is_main:
+                path = ckpt.save_train_state(ckpt_root, epoch, params,
+                                             opt_state, step_count)
+                print(f"epoch {epoch} done in {time.time() - t_epoch:.1f}s; "
+                      f"checkpoint: {path}")
             if max_steps and step_count >= max_steps:
                 break
 
@@ -282,7 +316,18 @@ def main():
     parser.add_argument("--profile_dir", default=None,
                         help="write a jax.profiler trace of the first "
                              "steps here")
+    # Multi-host launch (one process per host). Defaults come from the
+    # MVS_COORDINATOR_ADDRESS / MVS_NUM_PROCESSES / MVS_PROCESS_ID env
+    # vars; absent both, the run is single-process.
+    parser.add_argument("--coordinator", default=None,
+                        help="host:port of process 0 for multi-host runs")
+    parser.add_argument("--num_processes", type=int, default=None)
+    parser.add_argument("--process_id", type=int, default=None)
     args = parser.parse_args()
+
+    # Must precede any JAX backend use in this process.
+    distributed_initialize(args.coordinator, args.num_processes,
+                           args.process_id)
 
     params_cfg = load_params_yaml(args.config)
     train(params_cfg, args.data_dir, args.train_split, args.val_split,

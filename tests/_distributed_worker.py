@@ -1,0 +1,96 @@
+"""Worker process for the multi-host (jax.distributed) tests.
+
+NOT a test module -- tests/test_distributed.py spawns N copies of this
+script, each simulating one "host" with its own set of virtual CPU
+devices, wired together through the repo's parallel.distributed helpers
+(Gloo collectives between processes). Prints ``RESULT <value>`` on
+success; the parent asserts on it.
+
+Usage: python tests/_distributed_worker.py <mode> <process_id> \
+           <num_processes> <port> <local_devices>
+"""
+
+import os
+import sys
+
+
+def main():
+    mode, pid, nproc, port, ndev = sys.argv[1:6]
+    pid, nproc, ndev = int(pid), int(nproc), int(ndev)
+
+    os.environ["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={ndev}")
+    os.environ.pop("JAX_PLATFORMS", None)
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+    import numpy as np
+    import jax.numpy as jnp
+
+    from multi_view_stereonet_tpu.parallel import (
+        initialize, is_main_process, make_global_mesh, global_batch,
+        replicated,
+    )
+
+    joined = initialize(f"localhost:{port}", nproc, pid)
+    assert joined, "initialize() should join the cluster"
+    assert jax.process_count() == nproc
+    assert is_main_process() == (pid == 0)
+    assert len(jax.devices()) == nproc * ndev
+
+    mesh = make_global_mesh(view=1)
+
+    if mode == "toy":
+        # Cross-process batch assembly + a data-axis reduction.
+        local = (np.arange(2 * 3, dtype=np.float32).reshape(2, 3)
+                 + 100.0 * pid)
+        arr = global_batch(mesh, {"x": local})["x"]
+        assert arr.shape == (2 * nproc, 3), arr.shape
+        with mesh:
+            total = jax.jit(lambda x: jnp.sum(x),
+                            out_shardings=replicated(mesh))(arr)
+        print(f"RESULT {float(total):.6f}", flush=True)
+        return
+
+    assert mode == "train"
+    from __graft_entry__ import _example_batch
+    from multi_view_stereonet_tpu.models import (
+        MultiViewStereoNetConfig, init_mvsnet,
+    )
+    from multi_view_stereonet_tpu.losses import LossConfig
+    from multi_view_stereonet_tpu.train.step import (
+        OptimizerConfig, make_optimizer, make_train_step,
+    )
+
+    B_global = 4
+    assert B_global % nproc == 0
+    per = B_global // nproc
+    gbatch = _example_batch(B=B_global, V=1, H=32, W=32)
+    local = {k: v[pid * per:(pid + 1) * per] for k, v in gbatch.items()}
+
+    params = init_mvsnet(jax.random.PRNGKey(0))
+    tx = make_optimizer(OptimizerConfig())
+    opt_state = tx.init(params)
+    step = make_train_step(
+        MultiViewStereoNetConfig(num_idepth_samples=4,
+                                 fold_extractor_batch=False),
+        LossConfig(), tx)
+
+    rep = replicated(mesh)
+    params = jax.device_put(params, rep)
+    opt_state = jax.device_put(opt_state, rep)
+
+    with mesh:
+        jit_step = jax.jit(step)
+        for _ in range(2):
+            jbatch = global_batch(mesh, local)
+            params, opt_state, loss, _ = jit_step(params, opt_state, jbatch)
+        jax.block_until_ready(loss)
+    print(f"RESULT {float(loss):.6f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
