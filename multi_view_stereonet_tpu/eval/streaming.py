@@ -119,7 +119,15 @@ def main():
                         choices=["auto", "native", "pil"],
                         help="image decode path; auto uses the native C++ "
                              "loader when available (bit-exact with PIL)")
+    # Fleet sharding: inference has no cross-host collectives, so a
+    # multi-host serving fleet is N independent processes, each taking a
+    # strided shard of the split (every sample covered exactly once).
+    parser.add_argument("--shard_id", type=int, default=0)
+    parser.add_argument("--num_shards", type=int, default=1)
     args = parser.parse_args()
+    if not 0 <= args.shard_id < args.num_shards:
+        parser.error(f"--shard_id {args.shard_id} must be in "
+                     f"[0, --num_shards {args.num_shards})")
 
     params_file = args.params_yaml or os.path.join(
         args.weights_dir, "..", "..", "params.yaml")
@@ -141,6 +149,10 @@ def main():
         raise ValueError(
             f"cannot infer dataset type from split {args.test_split!r} "
             "(expected a gta_sfm or DeMoN split name)")
+    if args.num_shards > 1:
+        from ..parallel import ShardedDataset
+        dataset = ShardedDataset(dataset, args.shard_id, args.num_shards,
+                                 drop_ragged_tail=False)
 
     model_config = MultiViewStereoNetConfig(
         num_idepth_samples=cfg["num_idepth_samples"],

@@ -122,19 +122,25 @@ def local_shard_indices(n_samples: int,
 class ShardedDataset:
     """View of a dataset restricted to this process's sample shard.
 
-    Length is ``floor(n / process_count)`` on every process (the ragged
-    tail is dropped) so all processes run the same number of steps --
-    a divergent step count would deadlock the cross-host collectives.
+    With ``drop_ragged_tail`` (the default), length is
+    ``floor(n / process_count)`` on every process so all processes run
+    the same number of steps -- a divergent step count would deadlock
+    the cross-host collectives of training. Collective-free consumers
+    (fleet-sharded streaming inference) pass False to cover every
+    sample.
     """
 
     def __init__(self, dataset, process_id: int | None = None,
-                 process_count: int | None = None):
+                 process_count: int | None = None,
+                 drop_ragged_tail: bool = True):
         if process_id is None:
             process_id = jax.process_index()
         if process_count is None:
             process_count = jax.process_count()
         self._dataset = dataset
-        n = (len(dataset) // process_count) * process_count
+        n = len(dataset)
+        if drop_ragged_tail:
+            n = (n // process_count) * process_count
         self._indices = list(range(process_id, n, process_count))
 
     def __len__(self):

@@ -20,6 +20,8 @@ from __future__ import annotations
 
 import argparse
 import os
+import signal
+import threading
 import time
 
 import numpy as np
@@ -133,9 +135,43 @@ def validate(params, val_loader, val_step):
     return loss_sum / n, {k: v / n for k, v in totals.items()}
 
 
+class GracefulStop:
+    """Preemption-safe shutdown: SIGTERM -> finish the current step,
+    checkpoint, exit cleanly.
+
+    TPU pods (and most batch schedulers) deliver SIGTERM with a grace
+    window before killing the job; without this, everything since the
+    last epoch checkpoint is lost. The handler only sets a flag -- the
+    train loop checks it between steps, writes a checkpoint labeled with
+    the current epoch and breaks, so a relaunch resumes from it (at the
+    next epoch boundary; the global step count is preserved, keeping the
+    LR schedule continuous). In multi-host runs the scheduler signals
+    every process, so all hosts leave the collective loop together.
+    """
+
+    def __init__(self, signals=(signal.SIGTERM,)):
+        self._event = threading.Event()
+        self._previous = {}
+        for s in signals:
+            try:
+                self._previous[s] = signal.signal(s, self._handle)
+            except ValueError:  # not the main thread: flag-only mode
+                pass
+
+    def _handle(self, signum, frame):
+        self._event.set()
+
+    def __call__(self) -> bool:
+        return self._event.is_set()
+
+    def restore(self):
+        for s, h in self._previous.items():
+            signal.signal(s, h)
+
+
 def train(params_cfg, data_dir, train_split, val_split, output_dir,
           max_steps=0, max_epochs=None, profile_dir=None,
-          profile_steps=4):
+          profile_steps=4, stop_check=None):
     os.makedirs(output_dir, exist_ok=True)
     key = set_seeds(params_cfg["seed"])
     rng = np.random.default_rng(params_cfg["seed"])
@@ -228,6 +264,11 @@ def train(params_cfg, data_dir, train_split, val_split, output_dir,
     if profile_dir:
         _prof.enter_context(profile_trace(profile_dir))
 
+    graceful = None
+    if stop_check is None:
+        graceful = GracefulStop()
+        stop_check = graceful
+
     try:
         for epoch in range(start_epoch, num_epochs):
             t_epoch = time.time()
@@ -280,8 +321,11 @@ def train(params_cfg, data_dir, train_split, val_split, output_dir,
                                      jax.device_get(outputs), debug_dir)
                 if max_steps and step_count >= max_steps:
                     break
+                if stop_check():
+                    break
 
-            if val_loader is not None and is_main:
+            stopping = stop_check()
+            if val_loader is not None and is_main and not stopping:
                 # Validation has no collectives: process 0 runs it alone on
                 # a host-local copy of the (replicated) params.
                 vparams = jax.device_get(params) if n_proc > 1 else params
@@ -292,15 +336,18 @@ def train(params_cfg, data_dir, train_split, val_split, output_dir,
             if is_main:
                 path = ckpt.save_train_state(ckpt_root, epoch, params,
                                              opt_state, step_count)
-                print(f"epoch {epoch} done in {time.time() - t_epoch:.1f}s; "
+                tag = "preempted at" if stopping else "done in"
+                print(f"epoch {epoch} {tag} {time.time() - t_epoch:.1f}s; "
                       f"checkpoint: {path}")
-            if max_steps and step_count >= max_steps:
+            if stopping or (max_steps and step_count >= max_steps):
                 break
 
     finally:
         # Stop a still-open trace (run shorter than
         # profile_steps, or an exception mid-epoch).
         _prof.close()
+        if graceful is not None:
+            graceful.restore()
     return params
 
 

@@ -82,6 +82,14 @@ def test_sharded_dataset_equal_lengths_and_coverage():
     # Attribute passthrough to the wrapped dataset.
     assert shards[0].count("s0") == 1
 
+    # Collective-free consumers (fleet-sharded streaming) keep the tail:
+    # every sample covered exactly once.
+    full = [ShardedDataset(data, pid, 3, drop_ragged_tail=False)
+            for pid in range(3)]
+    assert [len(s) for s in full] == [4, 4, 3]
+    seen = sorted(s[i] for s in full for i in range(len(s)))
+    assert seen == sorted(data)
+
 
 def test_global_batch_matches_shard_batch_single_process():
     """Single-process degenerate case: global_batch produces the same

@@ -34,3 +34,14 @@ def test_streaming_runner_mesh(tmp_path):
         seen.extend(names)
     assert len(seen) == len(dataset)
     assert len(set(seen)) == len(seen)
+
+    # Fleet sharding (streaming CLI --shard_id/--num_shards): two
+    # collective-free shards together cover the split exactly once.
+    from multi_view_stereonet_tpu.parallel import ShardedDataset
+
+    shard_seen = []
+    for sid in range(2):
+        shard = ShardedDataset(dataset, sid, 2, drop_ragged_tail=False)
+        for _, names in runner.run(shard, batch_size=4):
+            shard_seen.extend(names)
+    assert sorted(shard_seen) == sorted(seen)
