@@ -231,15 +231,20 @@ def train(params_cfg, data_dir, train_split, val_split, output_dir,
     if is_main:
         print(f"model parameters: {count_parameters(params)}")
 
-    mesh = make_global_mesh(view=1) if n_proc > 1 else make_mesh(view=1)
+    # mesh_view > 1 (params.yaml) shards the comparison-view axis over a
+    # second mesh dimension (docs/SCALING.md "view"); requires the
+    # dataset's view count to be divisible by it.
+    mesh_view = int(params_cfg.get("mesh_view", 1))
+    mesh = (make_global_mesh(view=mesh_view) if n_proc > 1
+            else make_mesh(view=mesh_view))
     rep = replicated(mesh)
     params = jax.device_put(params, rep)
     opt_state = jax.device_put(opt_state, rep)
-    n_data = mesh.devices.size
+    n_data = mesh.shape["data"]
     if n_proc > 1 and batch_size % n_data != 0:
         raise ValueError(
             f"multi-host training needs batch_size ({batch_size}) divisible "
-            f"by the global device count ({n_data})")
+            f"by the mesh data-axis size ({n_data})")
 
     jit_step = jax.jit(train_step, donate_argnums=(0, 1))
     val_step = (make_val_step(model_config, loss_config)

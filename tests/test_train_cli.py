@@ -85,6 +85,26 @@ def test_graceful_stop_handler_catches_sigterm():
 
 
 @pytest.mark.slow
+def test_train_cli_view_sharded_mesh(tmp_path):
+    """mesh_view=2 (params.yaml) trains over a (data=4, view=2) mesh:
+    the comparison-view axis is sharded across devices end-to-end
+    through the CLI path, not just the step-level tests."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    data_dir, split = make_gta_sfm_tree(str(tmp_path), rows=32, cols=48,
+                                        frames=6, num_sequences=1,
+                                        comparisons=2)
+    out = str(tmp_path / "run")
+    cfg = _tiny_cfg()
+    cfg.update({"batch_size": 4, "mesh_view": 2})
+    params = train(cfg, data_dir, split, "", out, max_steps=1)
+    assert params is not None
+    assert os.path.exists(os.path.join(out, "losses.txt"))
+
+
+@pytest.mark.slow
 def test_preemption_checkpoint_and_resume(tmp_path):
     """A stop request mid-epoch (the SIGTERM path, injected via
     stop_check) writes a checkpoint before exiting, and a relaunch
