@@ -24,6 +24,8 @@ from tests.test_geometry import random_K, random_pose
 
 PRETRAINED = ("/root/reference/pretrained/gta_sfm_150epochs/checkpoints/"
               "epoch0149/stereo_network.pt")
+DEMON_PRETRAINED = ("/root/reference/pretrained/demon_45epochs/checkpoints/"
+                    "epoch0044/stereo_network.pt")
 
 
 def make_inputs(B=1, V=1, H=64, W=80, seed=0):
@@ -148,6 +150,25 @@ def test_forward_parity_pretrained_non16_size(reference_modules, pretrained_sd):
     left, rights, K, T = make_inputs(B=1, V=1, H=72, W=88, seed=4)
     ref_out = torch_forward(reference_modules, pretrained_sd, left, rights, K, T)
     jax_out = jax_forward(pretrained_sd, left, rights, K, T)
+    assert_outputs_close(jax_out, ref_out)
+
+
+@pytest.mark.slow
+def test_forward_parity_pretrained_demon(reference_modules):
+    """Golden parity with the SECOND shipped checkpoint (demon_45epochs).
+
+    The DeMoN recipe's params.yaml lacks the cost_volume_filter/refiners
+    keys (/root/reference/pretrained/demon_45epochs/params.yaml; test.py
+    would KeyError, see train/config.py defaults) -- eval runs it with
+    the defaults (filter on, all refiners on), so parity is checked at
+    that config. Weights differ enough from the GTA checkpoint (separate
+    45-epoch training run) that this exercises a genuinely different
+    point in weight space through the importer and the forward.
+    """
+    sd = load_torchscript_weights(DEMON_PRETRAINED)
+    left, rights, K, T = make_inputs(B=1, V=2, seed=5)
+    ref_out = torch_forward(reference_modules, sd, left, rights, K, T)
+    jax_out = jax_forward(sd, left, rights, K, T)
     assert_outputs_close(jax_out, ref_out)
 
 
