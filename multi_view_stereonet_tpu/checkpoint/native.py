@@ -65,10 +65,14 @@ def _epoch_dir(root: str, epoch: int) -> str:
     return os.path.join(root, f"epoch{epoch:04d}")
 
 
-def save_train_state(root: str, epoch: int, params, opt_state, step: int):
+def save_train_state(root: str, epoch: int, params, opt_state, step: int,
+                     suffix: str = ""):
+    """``suffix`` tags abnormal dumps (e.g. "-nanabort") so they never
+    collide with -- or get resumed as -- a regular epoch checkpoint
+    (latest_epoch only matches the plain epochNNNN form)."""
     import orbax.checkpoint as ocp
 
-    path = os.path.abspath(_epoch_dir(root, epoch))
+    path = os.path.abspath(_epoch_dir(root, epoch) + suffix)
     ckptr = ocp.PyTreeCheckpointer()
     ckptr.save(os.path.join(path, "state"),
                {"params": jax.device_get(params),

@@ -19,8 +19,10 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import math
 import os
 import signal
+import sys
 import threading
 import time
 
@@ -274,9 +276,26 @@ def train(params_cfg, data_dir, train_split, val_split, output_dir,
         graceful = GracefulStop()
         stop_check = graceful
 
+    def abort_if_nonfinite(lossf, epoch):
+        """Fail fast on a non-finite loss (the reference asserts inside the
+        loss itself, multi_view_stereonet/losses.py:38). The state is dumped
+        to a "-nanabort"-tagged checkpoint -- distinct from the epoch
+        checkpoints, so the last good one is never overwritten -- and the
+        process exits non-zero. Every process raises (a main-only abort
+        would deadlock the others at the next collective)."""
+        if math.isfinite(lossf):
+            return
+        if is_main:
+            path = ckpt.save_train_state(ckpt_root, epoch, params, opt_state,
+                                         step_count, suffix="-nanabort")
+            print(f"FATAL: non-finite loss {lossf} at step {step_count}; "
+                  f"state dumped to {path}", file=sys.stderr, flush=True)
+        raise SystemExit(3)
+
     try:
         for epoch in range(start_epoch, num_epochs):
             t_epoch = time.time()
+            prev_loss = None
             for batch_idx, batch in enumerate(loader):
                 names = batch.pop("left_filenames")
                 batch.pop("right_filenames")
@@ -300,16 +319,26 @@ def train(params_cfg, data_dir, train_split, val_split, output_dir,
                         params, opt_state, jbatch)
 
                 step_count += 1
+                # Per-step finiteness check, one step delayed: the PREVIOUS
+                # loss is already materialized (step N+1 was just
+                # dispatched), so float() costs no device-pipeline stall; a
+                # NaN burst aborts at most one update late instead of
+                # training garbage until the next print/checkpoint.
+                if prev_loss is not None:
+                    abort_if_nonfinite(float(prev_loss), epoch)
+                prev_loss = loss
                 if profile_dir and step_count >= profile_steps:
                     jax.block_until_ready(loss)
                     _prof.close()
                     profile_dir = None
-                if is_main and step_count % params_cfg["print_freq"] == 0:
+                if step_count % params_cfg["print_freq"] == 0:
                     lossf = float(loss)
-                    print(f"epoch {epoch} batch {batch_idx} step {step_count} "
-                          f"loss {lossf:.4f}")
-                    log_losses(epoch, batch_idx, step_count, lossf,
-                               jax.device_get(loss_dict), loss_file)
+                    abort_if_nonfinite(lossf, epoch)
+                    if is_main:
+                        print(f"epoch {epoch} batch {batch_idx} step "
+                              f"{step_count} loss {lossf:.4f}")
+                        log_losses(epoch, batch_idx, step_count, lossf,
+                                   jax.device_get(loss_dict), loss_file)
                 if (is_main and params_cfg["plot_freq"]
                         and step_count % params_cfg["plot_freq"] == 0):
                     plot_losses(loss_file, os.path.join(output_dir, "plots"))
@@ -328,6 +357,11 @@ def train(params_cfg, data_dir, train_split, val_split, output_dir,
                     break
                 if stop_check():
                     break
+
+            # The delayed check leaves the epoch's LAST step unchecked --
+            # verify it before the state is saved as a good epoch checkpoint.
+            if prev_loss is not None:
+                abort_if_nonfinite(float(prev_loss), epoch)
 
             stopping = stop_check()
             if val_loader is not None and is_main and not stopping:

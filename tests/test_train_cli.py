@@ -130,3 +130,36 @@ def test_preemption_checkpoint_and_resume(tmp_path):
     train(cfg2, data_dir, split, "", out, max_steps=1)
     ckpts2 = sorted(glob.glob(os.path.join(out, "checkpoints", "epoch*")))
     assert len(ckpts2) > len(ckpts)
+
+
+@pytest.mark.slow
+def test_nan_batch_aborts_with_tagged_checkpoint(tmp_path, monkeypatch):
+    """A non-finite loss must fail fast (reference losses.py:38 asserts):
+    the loop exits non-zero after dumping a "-nanabort"-tagged state that
+    does NOT register as a resumable epoch checkpoint."""
+    import multi_view_stereonet_tpu.train.train_cli as tc
+    from multi_view_stereonet_tpu.checkpoint.native import latest_epoch
+
+    data_dir, split = make_gta_sfm_tree(str(tmp_path), rows=32, cols=48,
+                                        frames=6, num_sequences=1)
+    out = str(tmp_path / "run")
+
+    real_loader = tc.BatchLoader
+
+    class PoisonedLoader(real_loader):
+        def __iter__(self):
+            for batch in super().__iter__():
+                batch = dict(batch)
+                img = np.array(batch["left_image"])
+                img[..., 0] = np.nan
+                batch["left_image"] = img
+                yield batch
+
+    monkeypatch.setattr(tc, "BatchLoader", PoisonedLoader)
+    with pytest.raises(SystemExit) as exc:
+        train(_tiny_cfg(), data_dir, split, "", out, max_steps=3)
+    assert exc.value.code == 3
+    tagged = glob.glob(os.path.join(out, "checkpoints", "epoch*-nanabort"))
+    assert tagged, "nanabort state dump missing"
+    # The dump must not be mistaken for a good epoch checkpoint.
+    assert latest_epoch(os.path.join(out, "checkpoints")) is None
