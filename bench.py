@@ -9,10 +9,12 @@ pretrained weights when the reference checkpoint is mounted.
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "depthmaps/sec", "vs_baseline": N}
 
-vs_baseline divides by 15 depthmaps/sec -- a deliberately generous
-estimate of the reference's PyTorch-GPU speed (the repo publishes no
-number, BASELINE.md; the paper's claim is "significantly faster" than
-~1-2 fps SOTA MVS, i.e. tens of ms/frame). The north star is >= 10x.
+vs_baseline divides by 24 depthmaps/sec -- the central estimate of a
+measured derivation chain (BASELINE.md "Measured reference runtime"):
+reference torch-CPU on this host = 1673 ms/frame with the reference's own
+timer, projected to a 2020-era GPU via achieved-FLOP + launch-overhead
+modeling => a 12-48 dm/s band, geometric mean 24. The north star is
+>= 10x.
 """
 
 import json
@@ -21,7 +23,10 @@ import time
 
 import numpy as np
 
-REFERENCE_FPS_ESTIMATE = 15.0
+# Central estimate of the reference's PyTorch-GPU speed, derived from a
+# measurement on this host (BASELINE.md "Measured reference runtime"):
+# torch-CPU 1673 ms/frame -> GPU band 12-48 dm/s, geometric mean 24.
+REFERENCE_FPS_ESTIMATE = 24.0
 PRETRAINED = ("/root/reference/pretrained/gta_sfm_150epochs/checkpoints/"
               "epoch0149/stereo_network.pt")
 
@@ -178,6 +183,9 @@ def main():
         "value": round(fps_b1, 1),
         "unit": "depthmaps/sec",
         "vs_baseline": round(fps_b1 / REFERENCE_FPS_ESTIMATE, 1),
+        # Uncertainty band of the derived denominator (12-48 dm/s,
+        # BASELINE.md): vs_baseline across the band.
+        "vs_baseline_band": [round(fps_b1 / 48.0, 1), round(fps_b1 / 12.0, 1)],
         "batch8_throughput": round(fps_b8, 1),
         "multiview_v5_throughput": round(fps_v5, 1),
         "bf16_batch1": round(fps_b1_bf16, 1),
