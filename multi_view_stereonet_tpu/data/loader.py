@@ -52,10 +52,12 @@ class BatchLoader:
     in-flight window, order-preserving) -- jpg decode + resize dominate
     eval-side wall clock (PIL ~9 ms/sample at 480x640 V=1; the native
     C++ backend is ~20% faster per core and thread-pools internally),
-    and PIL/numpy/ctypes release the GIL. Keep ``workers=1`` when the
-    transform pipeline draws from a shared RNG (training jitter / pose
-    noise): ``np.random.Generator`` is not thread-safe and the
-    sample<->draw pairing would change.
+    and PIL/numpy/ctypes release the GIL. Randomized transforms are
+    thread-safe via ``transforms.ThreadLocalRng`` (per-thread spawned
+    streams): with ``workers=1`` the historical single-stream draw
+    pairing is preserved exactly; with more, pairing is
+    scheduling-dependent, same as the reference's 4 torch DataLoader
+    worker processes (params.yaml:19).
     """
 
     def __init__(self, dataset, batch_size, shuffle=False, seed=0,

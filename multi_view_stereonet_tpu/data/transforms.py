@@ -20,8 +20,55 @@ keeps that behavior unless ``fix_normalization`` is set.
 
 from __future__ import annotations
 
+import threading
+
 import numpy as np
 from PIL import Image, ImageEnhance
+
+
+class ThreadLocalRng:
+    """numpy-Generator proxy with an independent stream per pool thread.
+
+    The randomized transforms draw from one Generator; under a
+    multi-threaded ``BatchLoader`` that would be a data race AND would
+    scramble the sample<->draw pairing. This proxy gives the first
+    claiming thread the base generator itself (a single-threaded
+    pipeline keeps its exact historical stream) and every further thread
+    a child stream spawned from the base seed -- the same semantics as
+    the reference's torch DataLoader, where each of the ``num_workers``
+    processes held its own RNG fork (multi-worker augmentation pairing
+    is scheduling-dependent there too, params.yaml:19).
+
+    Built once per pipeline (``get_training_transforms`` /
+    ``get_testing_transforms``) and shared by all its transforms, so two
+    transforms never race on the same underlying generator from
+    different threads.
+    """
+
+    def __init__(self, rng=None):
+        self._base = rng if rng is not None else np.random.default_rng()
+        self._lock = threading.Lock()
+        self._tls = threading.local()
+        self._owner_claimed = False
+
+    def _rng(self):
+        rng = getattr(self._tls, "rng", None)
+        if rng is None:
+            with self._lock:
+                if not self._owner_claimed:
+                    self._owner_claimed = True
+                    rng = self._base
+                else:
+                    # Drawing from a Generator never touches its
+                    # SeedSequence, so spawning here (under the lock)
+                    # is safe against the owner thread's draws.
+                    rng = np.random.default_rng(
+                        self._base.bit_generator.seed_seq.spawn(1)[0])
+            self._tls.rng = rng
+        return rng
+
+    def __getattr__(self, name):
+        return getattr(self._rng(), name)
 
 
 class Compose:
@@ -261,6 +308,7 @@ def get_training_transforms(params: dict, rng=None, fix_normalization=False):
     """Train pipeline (reference :56-68). With augment=True the reference
     omits Normalize -- reproduced unless ``fix_normalization``."""
     rows, cols = params["size"]
+    rng = ThreadLocalRng(rng)
     if params.get("augment", False):
         steps = [ResizeWithIntrinsics(rows, cols), RandomColorJitter(rng), ToArray()]
         if fix_normalization:
@@ -273,6 +321,7 @@ def get_testing_transforms(params: dict, roll_right_image180=False,
                            add_trans_noise=False, add_rot_noise=False, rng=None):
     """Test pipeline with optional robustness perturbations (:70-98)."""
     rows, cols = params["size"]
+    rng = ThreadLocalRng(rng)
     steps = []
     if roll_right_image180:
         steps.append(RollRight180())

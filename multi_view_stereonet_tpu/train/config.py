@@ -33,6 +33,14 @@ DEFAULTS = {
     "supervision_factor": 1.0,
     "reconstruction_factor": 0.0,
     "left_right_factor": 0.0,
+    # Reference num_workers: 4 (params.yaml:19, torch DataLoader workers);
+    # here: BatchLoader decode threads.
+    "num_workers": 4,
+    # "auto" = the native C++ decoder when usable (bit-exact with PIL,
+    # tests/test_native_loader.py), else PIL. Augmentations that mutate
+    # pixels (color jitter) transparently materialize through PIL either
+    # way, so the backend never changes training numerics.
+    "decode_backend": "auto",
     "print_freq": 1,
     "debug_image_freq": 50,
     "plot_freq": 500,

@@ -58,13 +58,15 @@ def make_dataset(params, data_dir, split_file, training, num_images=0, rng=None)
         transform = get_training_transforms(params, rng)
     else:
         transform = get_testing_transforms(params)
+    backend = params.get("decode_backend", "auto")
     if "gta_sfm" in (params.get("split", "") + split_file):
         return GTASfMMultiViewDataset(
             data_dir, split_file, num_images, transform,
-            load_groundtruth_depthmaps=True, seed=params["seed"])
+            load_groundtruth_depthmaps=True, seed=params["seed"],
+            decode_backend=backend)
     return DeMoNDataset(data_dir, split_file, num_right_images=1,
                         num_left_images=num_images, transform=transform,
-                        seed=params["seed"])
+                        seed=params["seed"], decode_backend=backend)
 
 
 def build_train_step(params_cfg, steps_per_epoch):
@@ -196,7 +198,8 @@ def train(params_cfg, data_dir, train_split, val_split, output_dir,
     if n_proc > 1:
         dataset = ShardedDataset(dataset)
     loader = BatchLoader(dataset, local_batch,
-                         shuffle=params_cfg["shuffle"], seed=params_cfg["seed"])
+                         shuffle=params_cfg["shuffle"], seed=params_cfg["seed"],
+                         workers=params_cfg.get("num_workers", 4))
     steps_per_epoch = max(len(loader), 1)
 
     val_loader = None
@@ -204,7 +207,8 @@ def train(params_cfg, data_dir, train_split, val_split, output_dir,
         val_dataset = make_dataset(params_cfg, data_dir, val_split, False,
                                    params_cfg["num_val_images"])
         val_loader = BatchLoader(val_dataset, params_cfg["batch_size"],
-                                 shuffle=False, drop_last=False)
+                                 shuffle=False, drop_last=False,
+                                 workers=params_cfg.get("num_workers", 4))
 
     model_config, loss_config, tx, train_step = build_train_step(
         params_cfg, steps_per_epoch)

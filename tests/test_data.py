@@ -217,3 +217,54 @@ def test_slanted_scene_groundtruth_geometry(tmp_path):
         Xw = T_cam[:3, :3] @ Xc + T_cam[:3, 3:4]
         residual = np.abs(n @ Xw - d)
         assert residual.max() < 1e-3, residual.max()
+
+
+def test_thread_local_rng_streams_and_augmented_workers(gta_tree):
+    """ThreadLocalRng: exact single-thread stream; safe multi-worker use.
+
+    The train CLI now runs the augmented (jitter) pipeline with
+    num_workers=4 decode threads (reference num_workers: 4); the
+    transform RNG must (a) keep the historical draw stream when only
+    one thread draws, (b) give pool threads independent streams.
+    """
+    import threading
+
+    from multi_view_stereonet_tpu.data.transforms import ThreadLocalRng
+    from multi_view_stereonet_tpu.data import get_training_transforms
+
+    # (a) owner thread sees the base generator's exact stream.
+    base = np.random.default_rng(11)
+    expect = np.random.default_rng(11).uniform(size=5)
+    np.testing.assert_array_equal(ThreadLocalRng(base).uniform(size=5), expect)
+
+    # (b) pool threads get independent, non-colliding streams.
+    rng = ThreadLocalRng(np.random.default_rng(11))
+    rng.uniform()  # claim base on the main thread
+    draws = {}
+
+    def draw(k):
+        draws[k] = rng.uniform(size=3)
+
+    threads = [threading.Thread(target=draw, args=(k,)) for k in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    flat = [tuple(v) for v in draws.values()]
+    assert len(set(flat)) == 4  # spawned children, all distinct
+
+    # (c) the full augmented pipeline survives 4 decode workers: every
+    # sample present exactly once, images jittered but valid.
+    data_dir, split = gta_tree
+    t = get_training_transforms({"size": [64, 96], "augment": True},
+                                np.random.default_rng(3))
+    ds = GTASfMMultiViewDataset(data_dir, split, transform=t,
+                                load_groundtruth_depthmaps=True, shuffle=False)
+    batches = list(BatchLoader(ds, batch_size=2, prefetch=0, drop_last=False,
+                               workers=4))
+    names = [n for b in batches for n in b["left_filenames"]]
+    expected = [os.path.join(data_dir, n) for n in ds.left_names]
+    assert sorted(names) == sorted(expected)
+    for b in batches:
+        assert np.isfinite(b["left_image"]).all()
+        assert 0.0 <= b["left_image"].min() and b["left_image"].max() <= 1.0
