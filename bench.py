@@ -124,9 +124,11 @@ def main():
     fps_b1_bf16 = measure(1, 400)
     fps_b8_bf16 = measure(8, 60)
 
-    # Accuracy at the headline config: abs_rel on the synthetic plane
-    # scene (pretrained weights) vs the f32-exact mode, same protocol as
-    # scripts/accuracy_speed.py. Optional -- never fails the bench.
+    # Accuracy at the headline config: abs_rel on the LAYERED occlusion
+    # scene (textured cards over a tilted background -- the hardest
+    # synthetic protocol; scripts/accuracy_speed.py ACC_SCENE=layered)
+    # with pretrained weights, vs the f32-exact mode. Optional -- never
+    # fails the bench.
     accuracy = {}
     try:
         import sys as _sys
@@ -141,7 +143,8 @@ def main():
 
         root = tempfile.mkdtemp(prefix="bench_acc_")
         data_dir, split = make_gta_sfm_tree(root, rows=480, cols=640,
-                                            frames=3, num_sequences=1)
+                                            frames=3, num_sequences=1,
+                                            scene="layered")
         ds = GTASfMMultiViewDataset(
             data_dir, split, 0, get_testing_transforms({"size": [480, 640]}),
             load_groundtruth_depthmaps=True)

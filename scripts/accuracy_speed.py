@@ -65,9 +65,12 @@ def main():
     rows = int(os.environ.get("ACC_ROWS", 480))
     cols = int(os.environ.get("ACC_COLS", 640))
     # ACC_SCENE=slanted tilts the scene plane so GT depth varies ~2x across
-    # the image (non-degenerate accuracy evidence; default stays the
-    # fronto-parallel plane bench.py re-measures). ACC_COMPARISONS=N makes
-    # N-view split lines (the reference's *_Ncmps_test.txt analog).
+    # the image; ACC_SCENE=layered renders the multi-layer occlusion world
+    # (textured cards over a tilted background, ~4x depth range, real
+    # occlusion boundaries) -- the hardest protocol, used by bench.py's
+    # accuracy row. Default stays the fronto-parallel plane.
+    # ACC_COMPARISONS=N makes N-view split lines (the reference's
+    # *_Ncmps_test.txt analog).
     scene = os.environ.get("ACC_SCENE", "plane")
     normal = (0.35, 0.25, 1.0) if scene == "slanted" else None
     comparisons = int(os.environ.get("ACC_COMPARISONS", 1))
@@ -76,7 +79,9 @@ def main():
                                         frames=max(4, comparisons + 2),
                                         num_sequences=2,
                                         comparisons=comparisons,
-                                        plane_normal=normal)
+                                        plane_normal=normal,
+                                        scene="layered" if scene == "layered"
+                                        else "plane")
     params = load_any_params(PRETRAINED)
 
     tf = get_testing_transforms({"size": [rows, cols]})

@@ -22,6 +22,117 @@ def _smooth_texture(rng, rows, cols):
     return np.clip(img + noise, 0, 255).astype(np.uint8)
 
 
+def _checker_texture(rng, rows, cols, periods=(32, 8)):
+    """Multi-frequency texture: checkerboards at two scales + smooth and
+    fine noise -- localizes cost-volume matching (unlike the smooth
+    texture, which is near-degenerate for stereo)."""
+    ys, xs = np.mgrid[0:rows, 0:cols]
+    img = np.full((rows, cols, 3), 128.0)
+    for p in periods:
+        sign = ((xs // p + ys // p) % 2 * 2 - 1).astype(np.float64)
+        img += sign[..., None] * rng.uniform(18, 40, size=3)
+    img += (_smooth_texture(rng, rows, cols).astype(np.float64) - 128.0) * 0.5
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def _sample_bilinear_wrap(texture, x, y):
+    """Bilinear sample with wraparound (tiling) addressing."""
+    tex_rows, tex_cols = texture.shape[:2]
+    x = np.mod(x, tex_cols)
+    y = np.mod(y, tex_rows)
+    x0 = np.floor(x).astype(int)
+    y0 = np.floor(y).astype(int)
+    x1 = (x0 + 1) % tex_cols
+    y1 = (y0 + 1) % tex_rows
+    wx = (x - x0)[:, None]
+    wy = (y - y0)[:, None]
+    tex = texture.reshape(-1, 3).astype(np.float64)
+    idx = lambda yy, xx: tex[yy * tex_cols + xx]
+    return ((idx(y0, x0) * (1 - wx) + idx(y0, x1) * wx) * (1 - wy)
+            + (idx(y1, x0) * (1 - wx) + idx(y1, x1) * wx) * wy)
+
+
+def _plane_basis(n):
+    """Orthonormal (e1, e2) spanning the plane with unit normal n."""
+    e1 = np.cross([0.0, 1.0, 0.0], n)
+    e1 = e1 / np.linalg.norm(e1)
+    e2 = np.cross(n, e1)
+    return e1, e2 / np.linalg.norm(e2)
+
+
+def _layered_scene(rng):
+    """Textured multi-layer world: tilted far background + 3 bounded
+    foreground cards at near/mid depths => real occlusion boundaries and
+    a ~4x depth range. Returns a list of layer dicts for
+    ``_render_layered_view`` (nearest-hit z-buffering makes layer order
+    irrelevant)."""
+    layers = []
+
+    def add(p0, normal, half_extent, tex_rows, periods):
+        n = np.asarray(normal, np.float64)
+        n = n / np.linalg.norm(n)
+        hu, hv = half_extent
+        tex = _checker_texture(rng, tex_rows, tex_rows, periods=periods)
+        layers.append({
+            "n": n, "p0": np.asarray(p0, np.float64),
+            "basis": _plane_basis(n), "half_extent": (hu, hv),
+            "texture": tex,
+            "tex_scale": tex_rows / (2.0 * min(hu, hv))
+            if np.isfinite(hu) else 24.0,
+        })
+
+    # Background: tilted plane through (0, 0, 14), depth varies across view.
+    add((0.0, 0.0, 14.0), (0.25, 0.15, 1.0), (np.inf, np.inf), 512, (32, 8))
+    # Foreground cards (position, tilt, half-extent chosen to stay in view
+    # for cameras tracking +x in [0, ~2]).
+    add((0.9, -0.35, 3.5), (0.10, 0.05, 1.0), (0.95, 0.75), 256, (48, 12))
+    add((2.1, 0.45, 5.0), (-0.15, 0.10, 1.0), (1.15, 0.90), 256, (24, 6))
+    add((0.3, 0.85, 7.0), (0.05, -0.20, 1.0), (1.45, 1.10), 256, (64, 16))
+    return layers
+
+
+def _render_layered_view(layers, K, rows, cols, T_cam):
+    """Ray-cast the layered world from camera-in-world pose T_cam with
+    intrinsics K: nearest plane hit per pixel (exact z-buffer) => image
+    with true occlusion boundaries + exact GT depth. Pixels hitting no
+    layer get depth 0 (invalid, masked by the eval protocol)."""
+    Rwc = T_cam[:3, :3]
+    twc = T_cam[:3, 3]
+    Kinv = np.linalg.inv(K)
+    ys, xs = np.mgrid[0:rows, 0:cols]
+    pix = np.stack([xs.ravel(), ys.ravel(), np.ones(rows * cols)], axis=0)
+    rays = Rwc @ (Kinv @ pix)                     # (3, N)
+    ray_z_cam = (Rwc.T @ rays)[2]                 # camera-frame z per unit lam
+    N = rays.shape[1]
+    zbuf = np.full(N, np.inf)
+    img = np.zeros((N, 3))
+    depth = np.zeros(N)
+    for layer in layers:
+        n, p0 = layer["n"], layer["p0"]
+        denom = n @ rays
+        with np.errstate(divide="ignore", invalid="ignore"):
+            lam = (n @ (p0 - twc)) / denom
+        X = rays * lam + twc[:, None]
+        rel = X - p0[:, None]
+        e1, e2 = layer["basis"]
+        u, v = e1 @ rel, e2 @ rel
+        z = lam * ray_z_cam
+        ok = np.isfinite(lam) & (lam > 1e-6) & (z > 0.1)
+        hu, hv = layer["half_extent"]
+        if np.isfinite(hu):
+            ok &= (np.abs(u) <= hu) & (np.abs(v) <= hv)
+        win = ok & (z < zbuf)
+        s = layer["tex_scale"]
+        tex = layer["texture"]
+        img[win] = _sample_bilinear_wrap(
+            tex, u[win] * s + tex.shape[1] / 2.0,
+            v[win] * s + tex.shape[0] / 2.0)
+        depth[win] = z[win]
+        zbuf[win] = z[win]
+    return (img.reshape(rows, cols, 3).astype(np.uint8),
+            depth.reshape(rows, cols).astype(np.float32))
+
+
 def _camera(rows, cols):
     K = np.eye(3, dtype=np.float64)
     K[0, 0] = K[1, 1] = 0.9 * cols
@@ -81,14 +192,18 @@ def _render_view(texture, tex_K, K, rows, cols, T_cam, plane_depth,
 
 def make_gta_sfm_tree(root, num_sequences=2, frames=4, rows=96, cols=128,
                       plane_depth=8.0, seed=0, comparisons=1,
-                      plane_normal=None):
+                      plane_normal=None, scene="plane"):
     """Write a GTA-SfM-layout tree + a multi-view split file.
 
     ``comparisons`` controls the number of comparison views per split line
     (the reference's *_Ncmps_test.txt variants). ``plane_normal`` tilts the
     scene plane (None = fronto-parallel constant depth; e.g. (0.35, 0.25, 1)
     gives GT depth varying ~2x across the image -- a non-degenerate scene
-    for accuracy measurements). Returns (data_dir, split_path).
+    for accuracy measurements). ``scene="layered"`` replaces the single
+    plane with the multi-layer occlusion world (checker/noise textures at
+    multiple frequencies, 3 foreground cards over a tilted background,
+    depth 3.5-16+, real occlusion boundaries) -- the hardest accuracy
+    protocol. Returns (data_dir, split_path).
     """
     rng = np.random.default_rng(seed)
     data_dir = os.path.join(root, "data")
@@ -104,6 +219,7 @@ def make_gta_sfm_tree(root, num_sequences=2, frames=4, rows=96, cols=128,
         K_true[0, 2] -= 0.5
         K_true[1, 2] -= 0.5
         texture = _smooth_texture(rng, rows, cols)
+        layers = _layered_scene(rng) if scene == "layered" else None
 
         k_lines = ["id k"]
         p_lines = ["id t"]
@@ -112,9 +228,13 @@ def make_gta_sfm_tree(root, num_sequences=2, frames=4, rows=96, cols=128,
             T_cam = np.eye(4)
             T_cam[0, 3] = 0.4 * f + rng.uniform(-0.02, 0.02)
             T_cam[1, 3] = rng.uniform(-0.05, 0.05)
-            img, depth = _render_view(texture, K_true, K_true, rows, cols,
-                                      T_cam, plane_depth,
-                                      plane_normal=plane_normal)
+            if layers is not None:
+                img, depth = _render_layered_view(layers, K_true, rows, cols,
+                                                  T_cam)
+            else:
+                img, depth = _render_view(texture, K_true, K_true, rows, cols,
+                                          T_cam, plane_depth,
+                                          plane_normal=plane_normal)
             name = f"{f:06d}"
             Image.fromarray(img).save(os.path.join(cdir, name + ".jpg"),
                                       quality=95)

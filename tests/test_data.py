@@ -268,3 +268,63 @@ def test_thread_local_rng_streams_and_augmented_workers(gta_tree):
     for b in batches:
         assert np.isfinite(b["left_image"]).all()
         assert 0.0 <= b["left_image"].min() and b["left_image"].max() <= 1.0
+
+
+def test_layered_scene_groundtruth_geometry(tmp_path):
+    """The layered occlusion scene's GT is geometrically exact.
+
+    Checks (a) near/far mix >= 3.5x with real depth discontinuities,
+    (b) cross-view consistency: every left pixel projected into the next
+    view either agrees with that view's depth (co-visible) or is
+    OCCLUDED there (the other view sees a strictly nearer surface), and
+    that genuinely occluded pixels exist, (c) texture has multi-frequency
+    content (not the near-degenerate smooth plane texture).
+    """
+    from tests.synthetic_data import make_gta_sfm_tree
+
+    rows, cols = 120, 160
+    data_dir, split = make_gta_sfm_tree(
+        str(tmp_path), rows=rows, cols=cols, frames=3, num_sequences=1,
+        scene="layered")
+    t = get_testing_transforms({"size": [rows, cols]})
+    ds = GTASfMMultiViewDataset(data_dir, split, transform=t,
+                                load_groundtruth_depthmaps=True,
+                                shuffle=False)
+    s = ds[0]
+    d_left = np.asarray(s["left_depthmap_true"])
+    d_right = np.asarray(s["right_depthmaps_true"][0])
+    valid = d_left > 0
+    assert d_left[valid].max() / d_left[valid].min() >= 3.5
+
+    gy, gx = np.gradient(np.where(valid, d_left, np.nan))
+    jumps = np.nan_to_num(np.abs(gx) + np.abs(gy))
+    assert (jumps > 1.0).sum() > rows  # card edges: multi-unit depth steps
+
+    K = np.asarray(s["K"])[:3, :3]
+    T_rl = np.asarray(s["T_right_in_left"][0])  # right-in-left
+    ys, xs = np.mgrid[0:rows, 0:cols]
+    pix = np.stack([xs[valid], ys[valid], np.ones(valid.sum())])
+    Xl = np.linalg.inv(K) @ pix * d_left[valid]
+    Xr = (np.linalg.inv(T_rl) @ np.concatenate(
+        [Xl, np.ones((1, Xl.shape[1]))]))[:3]
+    ur = K @ Xr
+    in_front = Xr[2] > 0.1
+    u = ur[0] / ur[2]
+    v = ur[1] / ur[2]
+    inside = in_front & (u >= 0) & (u <= cols - 1) & (v >= 0) & (v <= rows - 1)
+    ui = np.clip(np.round(u[inside]).astype(int), 0, cols - 1)
+    vi = np.clip(np.round(v[inside]).astype(int), 0, rows - 1)
+    z_proj = Xr[2][inside]
+    z_right = d_right[vi, ui]
+    ok_right = z_right > 0
+    agree = np.abs(z_proj - z_right) < 0.12 * z_proj  # nearest-pixel slack
+    occluded = z_right < z_proj * (1 - 0.05)
+    frac_bad = (~(agree | occluded) & ok_right).mean()
+    assert frac_bad < 0.02, frac_bad  # boundary-pixel rounding only
+    assert (occluded & ok_right & ~agree).mean() > 0.01  # real occlusion
+
+    img = np.asarray(s["left_image"])
+    f = np.fft.fft2(img.mean(axis=-1) - img.mean())
+    power = np.abs(f) ** 2
+    hi = power[rows // 4: 3 * rows // 4, cols // 4: 3 * cols // 4].sum()
+    assert hi / power.sum() > 0.01  # genuine high-frequency texture energy
