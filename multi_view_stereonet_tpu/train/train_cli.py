@@ -70,6 +70,16 @@ def make_dataset(params, data_dir, split_file, training, num_images=0, rng=None)
 
 
 def build_train_step(params_cfg, steps_per_epoch):
+    # fold_extractor_batch concatenates the P('data') left batch with the
+    # P(('data','view')) warped-right batch; under a >1-device mesh GSPMD
+    # can only reconcile those shardings by involuntary full
+    # rematerialization (observed at 240x320/D12 in dryrun_multichip).
+    # "auto": the single-chip fast path when unsharded, the mesh-friendly
+    # split extraction otherwise (numerically identical either way --
+    # tests/test_parallel.py::test_fold_extractor_batch_numerics).
+    fold = params_cfg.get("fold_extractor_batch", "auto")
+    if fold == "auto":
+        fold = jax.device_count() == 1
     model_config = MultiViewStereoNetConfig(
         num_idepth_samples=params_cfg["num_idepth_samples"],
         do_cost_volume_filter=params_cfg["cost_volume_filter"],
@@ -77,6 +87,7 @@ def build_train_step(params_cfg, steps_per_epoch):
         compute_dtype=params_cfg.get("compute_dtype", "float32"),
         matmul_precision=params_cfg.get("matmul_precision", "default"),
         remat_refiners=params_cfg.get("remat_refiners", False),
+        fold_extractor_batch=bool(fold),
     )
     loss_config = LossConfig(
         supervision_factor=params_cfg["supervision_factor"],

@@ -121,6 +121,9 @@ def test_dryrun_multichip_fresh_subprocess():
 
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    # Tiny shape: this test probes the env-bootstrap contract, not the
+    # flagship graph (that's test_dryrun_flagship_shape below).
+    env["GRAFT_DRYRUN_SHAPE"] = "32x32x4"
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     proc = subprocess.run(
         [sys.executable, "-c",
@@ -128,6 +131,21 @@ def test_dryrun_multichip_fresh_subprocess():
         cwd=repo, env=env, capture_output=True, text=True, timeout=1200)
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "dryrun_multichip ok" in proc.stdout
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
+def test_dryrun_flagship_shape(monkeypatch):
+    """The full dryrun at its default REALISTIC shape (240x320, D=12,
+    V=2): both fold_extractor_batch sharded graphs compile+run and agree,
+    and sharded loss/grads match the single-device graph at that shape
+    (VERDICT r2 #3 -- GSPMD decisions are shape-dependent; 32x32 would
+    not have caught the round-1 rematerialization bug). ~6-8 min on the
+    1-core CPU host."""
+    import __graft_entry__ as g
+
+    monkeypatch.delenv("GRAFT_DRYRUN_SHAPE", raising=False)
+    g.dryrun_multichip(8)  # asserts internally
 
 
 @pytest.mark.slow
