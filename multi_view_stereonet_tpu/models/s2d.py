@@ -441,14 +441,29 @@ def group_norm_s2d(params, x: jnp.ndarray, groups: int, eps: float = 1e-5
     orig_dtype = x.dtype
     B = x.shape[0]
     C = x.shape[-1] // 4
-    gs = C // groups
     spatial = tuple(range(1, x.ndim - 1))
     bshape = (B,) + (1,) * len(spatial) + (4 * C,)
+    mean, inv = gn_s2d_stats(x, groups, eps)
+    out = (x.astype(jnp.float32) - mean.reshape(bshape)) * inv.reshape(bshape)
+    out = out * jnp.tile(params["scale"], 4) + jnp.tile(params["bias"], 4)
+    return out.astype(orig_dtype)
+
+
+def gn_s2d_stats(x: jnp.ndarray, groups: int, eps: float = 1e-5):
+    """(mean, rsqrt(var + eps)) of group_norm_s2d, as (B, 4C) f32.
+
+    Factored out so the fused Pallas GN-apply kernel
+    (ops/pallas/gn_apply.py) reuses the exact stat math.
+    """
+    B = x.shape[0]
+    C = x.shape[-1] // 4
+    gs = C // groups
+    spatial = tuple(range(1, x.ndim - 1))
     xf = x.astype(jnp.float32)
 
     def pool_lanes(v):  # (B, 4C) per-lane -> per-group broadcast
         g = jnp.mean(v.reshape(B, 4, groups, gs), axis=(1, 3))
-        return jnp.tile(jnp.repeat(g, gs, axis=1), (1, 4)).reshape(bshape)
+        return jnp.tile(jnp.repeat(g, gs, axis=1), (1, 4))
 
     # E[x^2]-mu^2 lets both moments come out of ONE read of the big
     # tensor (vs a second centered pass); the cancellation error is
@@ -458,14 +473,25 @@ def group_norm_s2d(params, x: jnp.ndarray, groups: int, eps: float = 1e-5
     m2 = jnp.mean(jnp.square(xf), axis=spatial)
     mean = pool_lanes(m1)
     var = pool_lanes(m2) - jnp.square(mean)
-    out = (xf - mean) * jax.lax.rsqrt(var + eps)
-    out = out * jnp.tile(params["scale"], 4) + jnp.tile(params["bias"], 4)
-    return out.astype(orig_dtype)
+    return mean, jax.lax.rsqrt(var + eps)
+
+
+# Experimental (VERDICT r2 #6): route the resblock's GN-apply +
+# LeakyReLU + residual tail through the fused Pallas kernel
+# (ops/pallas/gn_apply.py). Toggled by scripts/profile_gn_apply.py for
+# the in-situ A/B; measured verdict in docs/ROOFLINE.md.
+PALLAS_GN_APPLY = False
 
 
 def resnet_block_s2d(params, x: jnp.ndarray, dilation: int) -> jnp.ndarray:
     c4 = params["conv"]["w"].shape[-1] * 4
     out = conv2d_s2d(params["conv"], x, dilation)
+    if PALLAS_GN_APPLY and jax.default_backend() == "tpu":
+        from ..ops.pallas.gn_apply import (
+            gn_apply_residual_fused, gn_apply_residual_supported)
+        if gn_apply_residual_supported(out):
+            return gn_apply_residual_fused(params["gn"], out, x,
+                                           (c4 // 4) // 8)
     out = group_norm_s2d(params["gn"], out, groups=(c4 // 4) // 8)
     out = leaky_relu(out)
     return out + x

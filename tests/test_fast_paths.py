@@ -522,3 +522,55 @@ def test_fused_refiner_interpret_matches_s2d(params, cg, size, B):
             idepthmap_refiner_fused(p, g, idp) * ct))(params[name])
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_gn_apply_residual_fused_interpret_matches_xla():
+    """Fused GN-apply+LeakyReLU+residual kernel vs the XLA composition
+    (Pallas interpret mode; the kernel itself only engages on TPU)."""
+    import numpy as np
+
+    from multi_view_stereonet_tpu.models.s2d import group_norm_s2d
+    from multi_view_stereonet_tpu.models.layers import leaky_relu
+    from multi_view_stereonet_tpu.ops.pallas.gn_apply import (
+        gn_apply_residual_fused, gn_apply_residual_supported)
+
+    rng = np.random.default_rng(0)
+    B, H, W, C4 = 2, 6, 16, 128
+    x = jnp.asarray(rng.normal(size=(B, H, W, C4)).astype(np.float32))
+    res = jnp.asarray(rng.normal(size=(B, H, W, C4)).astype(np.float32))
+    gn = {"scale": jnp.asarray(rng.normal(size=(C4 // 4,)).astype(np.float32)),
+          "bias": jnp.asarray(rng.normal(size=(C4 // 4,)).astype(np.float32))}
+    groups = (C4 // 4) // 8
+    assert gn_apply_residual_supported(x)
+
+    want = leaky_relu(group_norm_s2d(gn, x, groups=groups)) + res
+    try:
+        got = gn_apply_residual_fused(gn, x, res, groups, True)
+    except Exception as e:  # interpreter support varies across jax versions
+        pytest.skip(f"pallas interpret mode unavailable: {e}")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+
+    # bf16 storage: the kernel rounds the apply THEN adds the residual at
+    # bf16, matching the XLA path's order exactly.
+    xb, rb = x.astype(jnp.bfloat16), res.astype(jnp.bfloat16)
+    want16 = leaky_relu(group_norm_s2d(gn, xb, groups=groups)) + rb
+    got16 = gn_apply_residual_fused(gn, xb, rb, groups, True)
+    np.testing.assert_array_equal(np.asarray(got16, np.float32),
+                                  np.asarray(want16, np.float32))
+
+    # custom VJP: grads flow and match the XLA composition.
+    def f_fused(p, a, r):
+        return jnp.sum(jnp.cos(gn_apply_residual_fused(p, a, r, groups, True)))
+
+    def f_xla(p, a, r):
+        return jnp.sum(jnp.cos(
+            leaky_relu(group_norm_s2d(p, a, groups=groups)) + r))
+
+    g1 = jax.grad(f_fused, argnums=(0, 1, 2))(gn, x, res)
+    g2 = jax.grad(f_xla, argnums=(0, 1, 2))(gn, x, res)
+    # The ~1e-7 f32 fma-order forward difference perturbs the cos
+    # cotangent, so grads agree to ~1e-3 relative, not bitwise.
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-5)
