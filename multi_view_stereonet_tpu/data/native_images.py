@@ -26,6 +26,7 @@ class NativeImageRef:
     def __init__(self, path: str):
         self.path = path
         self.target = None  # (rows, cols) set by ResizeWithIntrinsics
+        self.jitter = None  # dict set by RandomColorJitter (native path)
         self._size = None
 
     @property
@@ -41,11 +42,13 @@ class NativeImageRef:
         return self._size
 
     def to_pil(self) -> Image.Image:
-        """Materialize through PIL (decode + any pending resize)."""
+        """Materialize through PIL (decode + pending resize + jitter)."""
         img = Image.open(self.path).convert("RGB")
         if self.target is not None:
             rows, cols = self.target
             img = img.resize((cols, rows), Image.BILINEAR)
+        if self.jitter is not None:
+            img = apply_jitter_pil(img, self.jitter)
         return img
 
 
@@ -67,11 +70,32 @@ def materialize_pil(sample):
     return sample
 
 
+def apply_jitter_pil(img: Image.Image, spec: dict) -> Image.Image:
+    """The PIL rendition of a recorded jitter spec (fallback path;
+    bit-exact twin of the native ApplyJitter)."""
+    from PIL import ImageEnhance
+
+    for op in spec["order"]:
+        if op == 0:
+            img = ImageEnhance.Brightness(img).enhance(spec["brightness"])
+        elif op == 1:
+            img = ImageEnhance.Contrast(img).enhance(spec["contrast"])
+        elif op == 2:
+            img = ImageEnhance.Color(img).enhance(spec["saturation"])
+        else:
+            hsv = np.array(img.convert("HSV"))
+            hsv[..., 0] = (hsv[..., 0].astype(np.int16)
+                           + spec["hue_shift"]) % 256
+            img = Image.fromarray(hsv, "HSV").convert("RGB")
+    return img
+
+
 def decode_refs(refs):
     """Decode a list of refs -> float32 [0, 1] HWC arrays.
 
-    One native call per target size; failed decodes fall back to PIL
-    per image.
+    One native call per (target size, jitter spec) group -- all views of
+    a training sample share one spec, so this stays one pooled call per
+    sample; failed decodes fall back to PIL per image (jitter included).
     """
     from .. import native
 
@@ -83,11 +107,17 @@ def decode_refs(refs):
         else:
             w, h = r.size
             rows, cols = h, w
-        groups.setdefault((rows, cols), []).append(i)
+        groups.setdefault((rows, cols, id(r.jitter)), []).append(i)
 
-    for (rows, cols), idxs in groups.items():
-        arrs, ok = native.load_images([refs[i].path for i in idxs],
-                                      rows, cols)
+    for (rows, cols, _), idxs in groups.items():
+        spec = refs[idxs[0]].jitter
+        paths = [refs[i].path for i in idxs]
+        if spec is None:
+            arrs, ok = native.load_images(paths, rows, cols)
+        else:
+            arrs, ok = native.load_images_jitter(
+                paths, rows, cols, spec["order"], spec["brightness"],
+                spec["contrast"], spec["saturation"], spec["hue_shift"])
         for j, i in enumerate(idxs):
             if ok[j]:
                 out[i] = arrs[j]

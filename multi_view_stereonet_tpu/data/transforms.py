@@ -133,12 +133,16 @@ class RandomColorJitter:
         self.saturation = saturation
         self.hue = hue
 
-    def _jitter_fn(self):
+    def _draw(self):
         b = self.rng.uniform(*self.brightness)
         c = self.rng.uniform(*self.contrast)
         s = self.rng.uniform(*self.saturation)
         h = self.rng.uniform(*self.hue)
         order = self.rng.permutation(4)
+        return b, c, s, h, order
+
+    def _jitter_fn(self, draw=None):
+        b, c, s, h, order = draw if draw is not None else self._draw()
 
         def apply(img):
             for op in order:
@@ -158,10 +162,27 @@ class RandomColorJitter:
         return apply
 
     def __call__(self, sample):
-        from .native_images import materialize_pil
+        from .native_images import has_refs, materialize_pil, sample_images
 
+        draw = self._draw()
+        if has_refs(sample):
+            # Native decode path: record the jitter on the refs so the
+            # C++ pipeline applies it between resize and conversion
+            # (bit-exact with the PIL ops below; tests/
+            # test_native_loader.py). Same RNG draw either way, so the
+            # two backends produce identical pixels for identical seeds.
+            from .. import native
+
+            if native.available():
+                b, c, s, h, order = draw
+                spec = {"order": [int(o) for o in order],
+                        "brightness": float(b), "contrast": float(c),
+                        "saturation": float(s), "hue_shift": int(h * 255)}
+                for im in sample_images(sample):
+                    im.jitter = spec
+                return sample
         sample = materialize_pil(sample)
-        fn = self._jitter_fn()
+        fn = self._jitter_fn(draw)
         sample["left_image"] = fn(sample["left_image"])
         sample["right_images"] = [fn(im) for im in sample["right_images"]]
         return sample

@@ -26,8 +26,11 @@ _tried = False
 
 
 def _build() -> bool:
-    base = ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", _LIB + ".tmp",
-            "-ljpeg", "-lpthread"]
+    # -ffp-contract=off: the jitter's Pillow bit-parity depends on the
+    # literal two-rounding float blend (an fma contraction would merge
+    # them); everything else is integer/fixed-point and unaffected.
+    base = ["g++", "-O3", "-ffp-contract=off", "-shared", "-fPIC", _SRC,
+            "-o", _LIB + ".tmp", "-ljpeg", "-lpthread"]
     # The library is always built on the machine that runs it, so
     # -march=native is safe; retry portable if the flag is rejected.
     for cmd in ([base[0], "-march=native"] + base[1:], base):
@@ -60,8 +63,17 @@ def _load():
         except OSError:
             return None
         lib.mvs_native_version.restype = ctypes.c_int
-        if lib.mvs_native_version() != 1:
-            return None
+        if lib.mvs_native_version() != 2:
+            # Stale binary from an older source (mtime check can miss
+            # e.g. a git checkout restoring an old timestamp): rebuild.
+            try:
+                if not _build():
+                    return None
+                lib = ctypes.CDLL(_LIB)
+            except OSError:
+                return None
+            if lib.mvs_native_version() != 2:
+                return None
         lib.mvs_jpeg_dims.argtypes = [
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_int),
             ctypes.POINTER(ctypes.c_int)]
@@ -72,6 +84,13 @@ def _load():
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int),
             ctypes.c_int]
         lib.mvs_load_images.restype = None
+        lib.mvs_load_images_jitter.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+            ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int),
+            ctypes.c_int]
+        lib.mvs_load_images_jitter.restype = None
         if not _parity_check(lib):
             return None
         _lib = lib
@@ -160,6 +179,36 @@ def load_images(paths, rows: int, cols: int, mean: float = 0.0,
         threads = min(n, os.cpu_count() or 1)
     lib.mvs_load_images(
         arr, n, rows, cols, ctypes.c_float(mean), ctypes.c_float(std),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), threads)
+    return out, status == 0
+
+
+def load_images_jitter(paths, rows: int, cols: int, order, brightness: float,
+                       contrast: float, saturation: float, hue_shift: int,
+                       threads: int = 0):
+    """Decode + resize + Pillow-bit-exact color jitter + x/255, in C++.
+
+    ``order``: sequence of op codes (0 brightness, 1 contrast,
+    2 saturation, 3 hue) applied in order with ONE parameter set for the
+    whole call (all views of a sample share the jitter draw, matching
+    the reference RandomColorJitterStereo). Returns (images, ok) like
+    ``load_images``; failed decodes fall back to PIL caller-side.
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native image loader unavailable")
+    n = len(paths)
+    out = np.empty((n, rows, cols, 3), np.float32)
+    status = np.empty((n,), np.int32)
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    order_arr = (ctypes.c_int * len(order))(*[int(o) for o in order])
+    if threads <= 0:
+        threads = min(n, os.cpu_count() or 1)
+    lib.mvs_load_images_jitter(
+        arr, n, rows, cols, order_arr, len(order),
+        ctypes.c_float(brightness), ctypes.c_float(contrast),
+        ctypes.c_float(saturation), ctypes.c_int(int(hue_shift)),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), threads)
     return out, status == 0

@@ -187,12 +187,162 @@ void ResizeBilinear(const unsigned char* src, int in_w, int in_h,
   }
 }
 
+// ---------------------------------------------------------------------
+// Pillow-parity color jitter (training augmentation).
+//
+// Replicates torchvision-0.6-era ColorJitter, which is PIL ImageEnhance
+// {Brightness, Contrast, Color} + an HSV-roundtrip hue shift, BIT-EXACT.
+// Semantics were reverse-engineered against Pillow empirically
+// (exhaustive over all 2^24 RGB / HSV values for the conversions, all
+// (im1, im2, alpha) blend grids -- see tests/test_native_loader.py):
+//  - Image.blend computes in C float: t = in1 + alpha*(in2-in1), clips,
+//    TRUNCATES to u8; alpha itself is rounded to float.
+//  - L conversion is the fixed-point (r*19595 + g*38470 + b*7471 +
+//    0x8000) >> 16.
+//  - Contrast blends toward solid gray int(mean(L) + 0.5); Color blends
+//    toward the per-pixel L; Brightness toward black.
+//  - RGB<->HSV store intermediates as C float but evaluate expressions
+//    in double (C promotion), truncating at the final *255.0 cast
+//    (rgb2hsv) and truncating x+0.5 (hsv2rgb).
+
+inline unsigned char LumaU8(int r, int g, int b) {
+  return static_cast<unsigned char>(
+      (r * 19595 + g * 38470 + b * 7471 + 0x8000) >> 16);
+}
+
+inline unsigned char BlendU8(float alpha, int deg, int px) {
+  float t = deg + alpha * (px - deg);
+  if (t <= 0.0f) return 0;
+  if (t >= 255.0f) return 255;
+  return static_cast<unsigned char>(t);
+}
+
+// The blend ops are pure functions of (alpha, deg, px) with u8 deg/px,
+// so each pass tabulates BlendU8 once (256 or 256x256 entries) and
+// applies by lookup -- bit-identical, ~10x less float work per image.
+void EnhanceBrightness(unsigned char* px, size_t count3, float alpha) {
+  unsigned char lut[256];
+  for (int v = 0; v < 256; ++v) lut[v] = BlendU8(alpha, 0, v);
+  for (size_t i = 0; i < count3; ++i) px[i] = lut[px[i]];
+}
+
+void EnhanceContrast(unsigned char* px, size_t npix, float alpha) {
+  double sum = 0.0;
+  for (size_t i = 0; i < npix; ++i) {
+    sum += LumaU8(px[i * 3], px[i * 3 + 1], px[i * 3 + 2]);
+  }
+  int gray = static_cast<int>(sum / npix + 0.5);
+  unsigned char lut[256];
+  for (int v = 0; v < 256; ++v) lut[v] = BlendU8(alpha, gray, v);
+  for (size_t i = 0; i < npix * 3; ++i) px[i] = lut[px[i]];
+}
+
+void EnhanceColor(unsigned char* px, size_t npix, float alpha) {
+  std::vector<unsigned char> lut(256 * 256);
+  for (int L = 0; L < 256; ++L) {
+    for (int v = 0; v < 256; ++v) {
+      lut[L * 256 + v] = BlendU8(alpha, L, v);
+    }
+  }
+  for (size_t i = 0; i < npix; ++i) {
+    const unsigned char* row =
+        lut.data() + LumaU8(px[i * 3], px[i * 3 + 1], px[i * 3 + 2]) * 256;
+    px[i * 3] = row[px[i * 3]];
+    px[i * 3 + 1] = row[px[i * 3 + 1]];
+    px[i * 3 + 2] = row[px[i * 3 + 2]];
+  }
+}
+
+void ShiftHue(unsigned char* px, size_t npix, int shift) {
+  // f32((double)a / b) for a in 0..255, b in 1..255 -- the only
+  // divisions in the conversion; tabulated once per image (bit-exact:
+  // identical computation, precomputed).
+  static thread_local std::vector<float> div_lut;
+  if (div_lut.empty()) {
+    div_lut.resize(256 * 256);
+    for (int a = 0; a < 256; ++a) {
+      for (int b = 1; b < 256; ++b) {
+        div_lut[a * 256 + b] =
+            static_cast<float>(static_cast<double>(a) / b);
+      }
+    }
+  }
+  for (size_t i = 0; i < npix; ++i) {
+    int r = px[i * 3], g = px[i * 3 + 1], b = px[i * 3 + 2];
+    int maxc = r > g ? (r > b ? r : b) : (g > b ? g : b);
+    int minc = r < g ? (r < b ? r : b) : (g < b ? g : b);
+    int H = 0, S = 0, V = maxc;
+    if (maxc != minc) {
+      int cr = maxc - minc;
+      float s = div_lut[cr * 256 + maxc];
+      float rc = div_lut[(maxc - r) * 256 + cr];
+      float gc = div_lut[(maxc - g) * 256 + cr];
+      float bc = div_lut[(maxc - b) * 256 + cr];
+      float h;
+      if (r == maxc) {
+        h = static_cast<double>(bc) - gc;
+      } else if (g == maxc) {
+        h = 2.0 + rc - static_cast<double>(bc);
+      } else {
+        h = 4.0 + gc - static_cast<double>(rc);
+      }
+      h = h / 6.0;
+      if (h < 0) h = h + 1.0;
+      H = static_cast<int>(h * 255.0);
+      S = static_cast<int>(s * 255.0);
+    }
+    H = ((H + shift) % 256 + 256) % 256;
+    if (S == 0) {
+      px[i * 3] = px[i * 3 + 1] = px[i * 3 + 2] = static_cast<unsigned char>(V);
+      continue;
+    }
+    float hf = static_cast<double>(H) / 255.0 * 6.0;
+    int idx = static_cast<int>(hf);
+    float fr = static_cast<double>(hf) - idx;
+    float sf = static_cast<double>(S) / 255.0;
+    float p = V * (1.0 - static_cast<double>(sf));
+    float q = V * (1.0 - static_cast<double>(sf) * fr);
+    float t = V * (1.0 - static_cast<double>(sf) * (1.0 - fr));
+    unsigned char P = static_cast<unsigned char>(p + 0.5);
+    unsigned char Q = static_cast<unsigned char>(q + 0.5);
+    unsigned char T = static_cast<unsigned char>(t + 0.5);
+    unsigned char Vc = static_cast<unsigned char>(V);
+    unsigned char ro, go, bo;
+    switch (idx % 6) {
+      case 0: ro = Vc; go = T; bo = P; break;
+      case 1: ro = Q; go = Vc; bo = P; break;
+      case 2: ro = P; go = Vc; bo = T; break;
+      case 3: ro = P; go = Q; bo = Vc; break;
+      case 4: ro = T; go = P; bo = Vc; break;
+      default: ro = Vc; go = P; bo = Q; break;
+    }
+    px[i * 3] = ro;
+    px[i * 3 + 1] = go;
+    px[i * 3 + 2] = bo;
+  }
+}
+
+void ApplyJitter(unsigned char* px, int rows, int cols, const int* order,
+                 int n_ops, float brightness, float contrast,
+                 float saturation, int hue_shift) {
+  size_t npix = static_cast<size_t>(rows) * cols;
+  for (int k = 0; k < n_ops; ++k) {
+    switch (order[k]) {
+      case 0: EnhanceBrightness(px, npix * 3, brightness); break;
+      case 1: EnhanceContrast(px, npix, contrast); break;
+      case 2: EnhanceColor(px, npix, saturation); break;
+      case 3: ShiftHue(px, npix, hue_shift); break;
+      default: break;
+    }
+  }
+}
+
 }  // namespace
 
 extern "C" {
 
 // Probe symbol for the ctypes wrapper.
-int mvs_native_version() { return 1; }
+int mvs_native_version() { return 2; }
 
 // JPEG header dims without a full decode. Returns 0 on success.
 int mvs_jpeg_dims(const char* path, int* w, int* h) {
@@ -256,6 +406,55 @@ void mvs_load_images(const char** paths, int n, int rows, int cols,
         for (size_t j = 0; j < count; ++j) {
           dst[j] = px[j] * inv - off;
         }
+      }
+      status[i] = 0;
+    }
+  };
+  int nt = n_threads < 1 ? 1 : (n_threads > n ? n : n_threads);
+  if (nt == 1) {
+    work();
+    return;
+  }
+  std::vector<std::thread> pool;
+  pool.reserve(nt);
+  for (int t = 0; t < nt; ++t) pool.emplace_back(work);
+  for (auto& t : pool) t.join();
+}
+
+// Like mvs_load_images (mean/std fixed to 0/1 -- the reference's
+// augmented training pipeline omits normalization), but applies the
+// Pillow-parity color jitter between resize and float conversion:
+// `order` is n_ops op codes (0 brightness, 1 contrast, 2 saturation,
+// 3 hue) applied sequentially with the given factors / hue shift --
+// ONE parameter set for the whole call (all views of a training sample
+// share the draw, reference RandomColorJitterStereo).
+void mvs_load_images_jitter(const char** paths, int n, int rows, int cols,
+                            const int* order, int n_ops, float brightness,
+                            float contrast, float saturation, int hue_shift,
+                            float* out, int* status, int n_threads) {
+  std::atomic<int> next(0);
+  auto work = [&]() {
+    std::vector<unsigned char> rgb, resized;
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= n) return;
+      int w = 0, h = 0;
+      if (!DecodeJpeg(paths[i], &rgb, &w, &h)) {
+        status[i] = 1;
+        continue;
+      }
+      unsigned char* px = rgb.data();
+      if (w != cols || h != rows) {
+        resized.resize(static_cast<size_t>(rows) * cols * 3);
+        ResizeBilinear(rgb.data(), w, h, resized.data(), cols, rows);
+        px = resized.data();
+      }
+      ApplyJitter(px, rows, cols, order, n_ops, brightness, contrast,
+                  saturation, hue_shift);
+      float* dst = out + static_cast<size_t>(i) * rows * cols * 3;
+      size_t count = static_cast<size_t>(rows) * cols * 3;
+      for (size_t j = 0; j < count; ++j) {
+        dst[j] = px[j] / 255.0f;
       }
       status[i] = 0;
     }

@@ -124,3 +124,105 @@ def test_pil_backend_unchanged_without_native():
         s = ds[0]
         assert isinstance(s["left_image"], np.ndarray)
         assert s["left_image"].shape == (64, 96, 3)
+
+
+@needs_native
+def test_native_jitter_bitexact_vs_pil(tmp_path):
+    """load_images_jitter: decode+resize+4-op color jitter, bit-exact
+    with the PIL ImageEnhance/HSV pipeline for random factors, orders,
+    and both resize directions."""
+    from PIL import ImageEnhance
+
+    paths = _save_jpegs(str(tmp_path), [(160, 120), (96, 64)])
+    rng = np.random.default_rng(3)
+
+    def pil_jitter(path, rows, cols, order, bf, cf, sf, hshift):
+        img = Image.open(path).convert("RGB")
+        if img.size != (cols, rows):
+            img = img.resize((cols, rows), Image.BILINEAR)
+        for op in order:
+            if op == 0:
+                img = ImageEnhance.Brightness(img).enhance(bf)
+            elif op == 1:
+                img = ImageEnhance.Contrast(img).enhance(cf)
+            elif op == 2:
+                img = ImageEnhance.Color(img).enhance(sf)
+            else:
+                hsv = np.array(img.convert("HSV"))
+                hsv[..., 0] = (hsv[..., 0].astype(np.int16) + hshift) % 256
+                img = Image.fromarray(hsv, "HSV").convert("RGB")
+        return np.asarray(img, np.float32) / 255.0
+
+    for trial in range(12):
+        rows, cols = (120, 160) if trial % 2 else (48, 64)
+        bf, cf, sf = rng.uniform(0.8, 1.2, 3)
+        hshift = int(rng.uniform(-0.1, 0.1) * 255)
+        order = [int(o) for o in rng.permutation(4)]
+        got, ok = native.load_images_jitter(paths, rows, cols, order,
+                                            bf, cf, sf, hshift)
+        assert ok.all()
+        for i, p in enumerate(paths):
+            want = pil_jitter(p, rows, cols, order, bf, cf, sf, hshift)
+            np.testing.assert_array_equal(got[i], want)
+
+
+@needs_native
+def test_augmented_training_pipeline_native_jitter_bitexact():
+    """The full augmented TRAIN pipeline (resize -> jitter -> to-array,
+    the 150-epoch recipe's transform chain) produces IDENTICAL tensors
+    under the pil and native backends for the same seed -- the jitter
+    runs inside the C++ decode call on the native path (no PIL
+    materialization), so this pins the end-to-end bit-exactness that
+    makes decode_backend=auto safe for training."""
+    from multi_view_stereonet_tpu.data import get_training_transforms
+    from multi_view_stereonet_tpu.data.native_images import has_refs
+
+    with tempfile.TemporaryDirectory() as tmp:
+        data_dir, split = make_gta_sfm_tree(tmp)
+        params = {"size": [64, 96], "augment": True, "seed": 0}
+
+        def batch(backend, seed):
+            tr = get_training_transforms(params, np.random.default_rng(seed))
+            ds = GTASfMMultiViewDataset(data_dir, split, transform=tr,
+                                        shuffle=False, decode_backend=backend)
+            return [ds[i] for i in range(len(ds))]
+
+        # Confirm the native path really keeps refs through the jitter
+        # (i.e. the C++ jitter runs) rather than materializing.
+        tr = T.Compose([T.ResizeWithIntrinsics(64, 96),
+                        T.RandomColorJitter(rng=np.random.default_rng(1))])
+        ds = GTASfMMultiViewDataset(data_dir, split, transform=tr,
+                                    shuffle=False, decode_backend="native")
+        assert has_refs(ds[0])
+
+        for a, b in zip(batch("pil", 7), batch("native", 7)):
+            np.testing.assert_array_equal(np.asarray(a["left_image"]),
+                                          np.asarray(b["left_image"]))
+            for ra, rb in zip(a["right_images"], b["right_images"]):
+                np.testing.assert_array_equal(np.asarray(ra), np.asarray(rb))
+
+
+@needs_native
+def test_hsv_roundtrip_model_spot_check():
+    """PIL RGB<->HSV C semantics (float vars, double exprs, trunc casts)
+    were verified exhaustively over all 2^24 values offline; keep a
+    random 64k-pixel spot check in the suite via a pure-hue jitter."""
+    rng = np.random.default_rng(9)
+    arr = rng.integers(0, 256, (256, 256, 3), dtype=np.uint8)
+    with tempfile.TemporaryDirectory() as tmp:
+        # PNG-free environment: save losslessly via BMP? PIL bmp is
+        # lossless RGB. The native loader only decodes JPEG -- so route
+        # through a quality-100 JPEG and compare both pipelines on the
+        # SAME decoded pixels instead.
+        p = os.path.join(tmp, "x.jpg")
+        Image.fromarray(arr).save(p, quality=100)
+        shift = 17
+        got, ok = native.load_images_jitter([p], 256, 256, [3],
+                                            1.0, 1.0, 1.0, shift)
+        assert ok.all()
+        img = Image.open(p).convert("RGB")
+        hsv = np.array(img.convert("HSV"))
+        hsv[..., 0] = (hsv[..., 0].astype(np.int16) + shift) % 256
+        want = np.asarray(Image.fromarray(hsv, "HSV").convert("RGB"),
+                          np.float32) / 255.0
+        np.testing.assert_array_equal(got[0], want)
