@@ -127,6 +127,16 @@ def make_val_step(model_config, loss_config):
         m = disparity_metrics(
             inputs["K_pyr"][0], inputs["T_right_in_left"][:, 0],
             outputs["left_idepthmap_pyr"][0], inputs["left_idepthmap_true"])
+        # Dead-refiner telemetry: the refiners end in ReLU(idepth + delta)
+        # (reference multi_view_stereonet.py:480-483); when the scene's
+        # idepth statistics sit far below the sweep's initial soft-argmin,
+        # the x100-scaled loss can drive delta past -idepth early and the
+        # output dies at exactly 0 with no recovery gradient (observed on
+        # a synthetic scene with sub-pixel level-4 disparities --
+        # docs/convergence/SUMMARY_layered.md). Zero-fraction of the
+        # finest refined output makes that failure visible in one number.
+        m["refined_zero_frac"] = jnp.mean(
+            outputs["left_idepthmap_pyr"][0] == 0)
         return loss, m
 
     return val_step
@@ -386,6 +396,13 @@ def train(params_cfg, data_dir, train_split, val_split, output_dir,
                 val_loss, metrics = validate(vparams, val_loader, val_step)
                 log_validation_metrics(epoch, val_loss, metrics, val_file)
                 print(f"epoch {epoch} validation loss {val_loss:.4f} {metrics}")
+                if metrics.get("refined_zero_frac", 0.0) >= 0.999:
+                    print("WARNING: finest refined idepth output is all "
+                          "zero -- the refiners' output ReLU has likely "
+                          "died (delta <= -idepth everywhere; no recovery "
+                          "gradient). Check scene/idepth statistics vs "
+                          "the hypothesis sweep range, or lower the "
+                          "learning rate.", flush=True)
 
             if is_main:
                 path = ckpt.save_train_state(ckpt_root, epoch, params,

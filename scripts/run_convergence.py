@@ -8,8 +8,13 @@ plane scenes to a falling validation EPE, resuming once mid-run
 (epoch 30) to exercise the checkpoint/resume path, then copy the
 loss/validation curves into docs/convergence/.
 
-Runs on CPU (keeps the TPU free; the recipe is identical).
-Usage: python scripts/run_convergence.py [workdir]
+Runs on CPU by default (keeps the TPU free; the recipe is identical);
+--tpu trains on the device. --scene layered swaps in the multi-layer
+occlusion world (textured cards over a tilted background) -- the harder
+demonstration: the recipe must learn real depth discontinuities, not a
+constant plane.
+
+Usage: python scripts/run_convergence.py [workdir] [--scene layered] [--tpu]
 """
 
 import os
@@ -21,12 +26,14 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if "--tpu" not in sys.argv:
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir",
                   os.path.expanduser("~/.jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-EPOCHS_FIRST = 30
-EPOCHS_TOTAL = 60
+EPOCHS_FIRST = int(os.environ.get("CONV_EPOCHS_FIRST", 30))
+EPOCHS_TOTAL = int(os.environ.get("CONV_EPOCHS_TOTAL", 60))
 
 
 def main():
@@ -34,10 +41,18 @@ def main():
     from multi_view_stereonet_tpu.train.train_cli import train
     from synthetic_data import make_gta_sfm_tree
 
-    work = sys.argv[1] if len(sys.argv) > 1 else "/tmp/convergence_run"
+    scene = "plane"
+    argv = sys.argv[1:]
+    if "--scene" in argv:
+        i = argv.index("--scene")
+        scene = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    args = [a for a in argv if not a.startswith("--")]
+    work = args[0] if args else f"/tmp/convergence_run_{scene}"
     os.makedirs(work, exist_ok=True)
     data_dir, split = make_gta_sfm_tree(
-        work, num_sequences=2, frames=10, rows=96, cols=128, seed=7)
+        work, num_sequences=2, frames=10, rows=96, cols=128, seed=7,
+        scene=scene)
 
     # Hold out ~20% of split lines for validation.
     lines = [l for l in open(split) if l.strip()]
@@ -75,15 +90,18 @@ def main():
     repo = os.path.join(os.path.dirname(__file__), "..")
     dest = os.path.join(repo, "docs", "convergence")
     os.makedirs(dest, exist_ok=True)
+    suffix = "" if scene == "plane" else f"_{scene}"
     for name in ("losses.txt", "validation.txt"):
-        src = os.path.join(out, name)
-        if os.path.exists(src):
-            shutil.copy(src, dest)
+        srcp = os.path.join(out, name)
+        if os.path.exists(srcp):
+            shutil.copy(srcp, os.path.join(
+                dest, name.replace(".txt", suffix + ".txt")))
     plots = os.path.join(out, "plots")
     if os.path.isdir(plots):
         for name in ("loss.jpg", "supervised_loss.jpg"):
             if os.path.exists(os.path.join(plots, name)):
-                shutil.copy(os.path.join(plots, name), dest)
+                shutil.copy(os.path.join(plots, name), os.path.join(
+                    dest, name.replace(".jpg", suffix + ".jpg")))
 
     # Summarize: validation EPE must fall (parse by header -- the
     # metric columns are dict-ordered).
@@ -95,11 +113,13 @@ def main():
     epes = [float(r[epe_col]) for r in rows]
     print(f"validation EPE: epoch {epochs[0]}: {epes[0]:.3f} -> "
           f"epoch {epochs[-1]}: {epes[-1]:.3f}", flush=True)
-    with open(os.path.join(dest, "SUMMARY.md"), "w") as f:
+    summary_name = ("SUMMARY.md" if scene == "plane"
+                    else f"SUMMARY_{scene}.md")
+    with open(os.path.join(dest, summary_name), "w") as f:
         f.write(
-            "# Synthetic-scene convergence run\n\n"
+            f"# Synthetic-scene convergence run ({scene})\n\n"
             "Full supervised recipe (train.train_cli) on the synthetic\n"
-            "GTA-SfM plane scenes (96x128, 2 sequences x 10 frames, 14\n"
+            f"GTA-SfM {scene} scenes (96x128, 2 sequences x 10 frames, 14\n"
             f"train / 4 val samples), {EPOCHS_TOTAL} epochs with a resume\n"
             f"at epoch {EPOCHS_FIRST} (checkpoint -> fresh process path).\n"
             "The reference's 150-epoch GTA recipe cannot run here (no\n"

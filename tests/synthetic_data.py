@@ -91,6 +91,48 @@ def _layered_scene(rng):
     return layers
 
 
+def _layered_track_scene(rng, span, depth_scale=0.25):
+    """Layered-world variant for TRAINING sequences: cards spread along
+    the whole camera track (every frame sees 1-2 cards) at depths scaled
+    so unit-baseline idepth spans ~0.1-0.5 -- the regime of real GTA
+    data, where level-4 disparities are resolvable by the 12-hypothesis
+    sweep. (The fixed ``_layered_scene`` used by the accuracy protocol
+    keeps its committed/measured layout; at its depths a 96x128 training
+    scene has sub-pixel level-4 disparities, which starves the cost
+    volume and lets the refiners' output ReLU collapse -- see
+    docs/convergence/SUMMARY_layered.md.)"""
+    layers = []
+
+    def add(p0, normal, half_extent, tex_rows, periods):
+        n = np.asarray(normal, np.float64)
+        n = n / np.linalg.norm(n)
+        hu, hv = half_extent
+        tex = _checker_texture(rng, tex_rows, tex_rows, periods=periods)
+        layers.append({
+            "n": n, "p0": np.asarray(p0, np.float64),
+            "basis": _plane_basis(n), "half_extent": (hu, hv),
+            "texture": tex,
+            "tex_scale": tex_rows / (2.0 * min(hu, hv))
+            if np.isfinite(hu) else 24.0,
+        })
+
+    ds = depth_scale
+    add((span / 2, 0.0, 14.0 * ds), (0.25, 0.15, 1.0), (np.inf, np.inf),
+        512, (32, 8))
+    n_cards = max(3, int(span / 0.6))
+    depths = [3.5 * ds, 5.0 * ds, 7.0 * ds]
+    periods = [(48, 12), (24, 6), (64, 16)]
+    for i in range(n_cards):
+        z = depths[i % 3]
+        x = span * i / max(n_cards - 1, 1) + rng.uniform(-0.1, 0.1)
+        y = rng.uniform(-0.3, 0.3) * ds * 4
+        tilt = (rng.uniform(-0.2, 0.2), rng.uniform(-0.2, 0.2), 1.0)
+        he = (rng.uniform(0.8, 1.1) * ds * 4 * z / 3.5,
+              rng.uniform(0.6, 0.9) * ds * 4 * z / 3.5)
+        add((x, y, z), tilt, he, 256, periods[i % 3])
+    return layers
+
+
 def _render_layered_view(layers, K, rows, cols, T_cam):
     """Ray-cast the layered world from camera-in-world pose T_cam with
     intrinsics K: nearest plane hit per pixel (exact z-buffer) => image
@@ -219,7 +261,12 @@ def make_gta_sfm_tree(root, num_sequences=2, frames=4, rows=96, cols=128,
         K_true[0, 2] -= 0.5
         K_true[1, 2] -= 0.5
         texture = _smooth_texture(rng, rows, cols)
-        layers = _layered_scene(rng) if scene == "layered" else None
+        if scene == "layered":
+            layers = _layered_scene(rng)
+        elif scene == "layered_track":
+            layers = _layered_track_scene(rng, span=0.4 * frames)
+        else:
+            layers = None
 
         k_lines = ["id k"]
         p_lines = ["id t"]

@@ -50,6 +50,40 @@ def test_eval_cli_pretrained_on_synthetic_plane(tmp_path, monkeypatch):
     assert avg["a1"] > 0.95, avg
 
 
+@pytest.mark.skipif(not reference_available(), reason="needs pretrained weights")
+def test_eval_cli_pretrained_on_layered_occlusion_scene(tmp_path, monkeypatch):
+    """Same chain on the HARDEST protocol: the layered occlusion world
+    (textured cards over a tilted background, ~4x depth range, real
+    occlusion boundaries). The pretrained reference stack scores
+    abs_rel ~0.15-0.25 here at 240x320 (the scene is genuinely hard);
+    a pipeline regression (baseline/depth scaling, mask handling at
+    depth discontinuities) blows well past 0.45."""
+    import yaml
+
+    from multi_view_stereonet_tpu.checkpoint import (
+        load_torchscript_weights, convert_reference_state_dict,
+    )
+    from multi_view_stereonet_tpu.checkpoint.native import save_params
+    from multi_view_stereonet_tpu.eval.test_cli import run_eval
+
+    root = str(tmp_path)
+    data_dir, split = make_gta_sfm_tree(root, rows=240, cols=320, frames=3,
+                                        num_sequences=1, scene="layered")
+    run_dir = os.path.join(root, "run")
+    weights_dir = os.path.join(run_dir, "checkpoints", "epoch0000")
+    os.makedirs(weights_dir)
+    params = convert_reference_state_dict(load_torchscript_weights(PRETRAINED))
+    save_params(weights_dir, params)
+    with open(os.path.join(run_dir, "params.yaml"), "w") as f:
+        yaml.dump({"size": [240, 320]}, f)
+
+    monkeypatch.chdir(root)
+    _, avg = run_eval(weights_dir, data_dir, split,
+                      output_dir=os.path.join(root, "out"), batch_size=2)
+    assert avg["abs_rel"] < 0.45, avg
+    assert avg["a1"] > 0.45, avg
+
+
 def test_depth_metrics_vs_reference(reference_modules):
     """Metric formulas parity vs reference test.py:41-71."""
     import importlib.util
