@@ -163,3 +163,28 @@ def test_nan_batch_aborts_with_tagged_checkpoint(tmp_path, monkeypatch):
     assert tagged, "nanabort state dump missing"
     # The dump must not be mistaken for a good epoch checkpoint.
     assert latest_epoch(os.path.join(out, "checkpoints")) is None
+
+
+@pytest.mark.slow
+def test_train_cli_demon_dataset_path(tmp_path):
+    """The DeMoN dataset branch of make_dataset drives the same loop:
+    the reference's demon_45epochs recipe ran on this layout (scenes +
+    cam.txt + world-in-camera poses.txt); exercise split dispatch,
+    calibration parsing, GT loading and a real optimizer step +
+    validation end-to-end."""
+    from synthetic_data import make_demon_tree
+
+    data_dir, split = make_demon_tree(str(tmp_path), num_scenes=2,
+                                      frames=3, rows=32, cols=48)
+    out = str(tmp_path / "run")
+    cfg = _tiny_cfg()
+    cfg["split"] = "demon"
+    params = train(cfg, data_dir, split, split, out, max_steps=2)
+    assert params is not None
+    val = os.path.join(out, "validation.txt")
+    assert os.path.exists(val)
+    rows = [l.split() for l in open(val) if l.strip()]
+    header, first = rows[0], rows[1]
+    assert "refined_zero_frac" in header
+    loss = float(first[header.index("loss")])
+    assert np.isfinite(loss) and loss > 0
