@@ -173,6 +173,12 @@ def main():
         r_exact = abs_rel(MultiViewStereoNetConfig(
             matmul_precision="highest"))
         accuracy = {
+            # r3+: the hardest synthetic protocol (textured cards over a
+            # tilted background, real occlusion). NOT comparable to the
+            # r1/r2 rows, which used the easy fronto-parallel plane
+            # (abs_rel ~0.022); the delta vs f32-exact is the comparable
+            # number.
+            "accuracy_scene": "layered_occlusion",
             "abs_rel_headline": round(r_default, 5),
             "abs_rel_f32_exact": round(r_exact, 5),
             "abs_rel_delta_pct": round(
