@@ -54,8 +54,9 @@ class BatchLoader:
     C++ backend is ~20% faster per core and thread-pools internally),
     and PIL/numpy/ctypes release the GIL. Randomized transforms are
     thread-safe via ``transforms.ThreadLocalRng`` (per-thread spawned
-    streams): with ``workers=1`` the historical single-stream draw
-    pairing is preserved exactly; with more, pairing is
+    streams): at ``workers=1`` the sample<->draw pairing is
+    bit-reproducible run-to-run (each epoch's prefetch thread claims
+    the next deterministic child stream); with more workers, pairing is
     scheduling-dependent, same as the reference's 4 torch DataLoader
     worker processes (params.yaml:19).
     """

@@ -27,17 +27,28 @@ from PIL import Image, ImageEnhance
 
 
 class ThreadLocalRng:
-    """numpy-Generator proxy with an independent stream per pool thread.
+    """numpy-Generator proxy with an independent stream per thread.
 
     The randomized transforms draw from one Generator; under a
     multi-threaded ``BatchLoader`` that would be a data race AND would
     scramble the sample<->draw pairing. This proxy gives the first
-    claiming thread the base generator itself (a single-threaded
-    pipeline keeps its exact historical stream) and every further thread
-    a child stream spawned from the base seed -- the same semantics as
-    the reference's torch DataLoader, where each of the ``num_workers``
-    processes held its own RNG fork (multi-worker augmentation pairing
-    is scheduling-dependent there too, params.yaml:19).
+    claiming thread the base generator itself and every further thread a
+    child stream spawned deterministically from the base seed -- the
+    same semantics as the reference's torch DataLoader, where each of
+    the ``num_workers`` processes held its own RNG fork (multi-worker
+    augmentation pairing is scheduling-dependent there too,
+    params.yaml:19).
+
+    Determinism contract: draws are a pure function of (base seed,
+    which thread-in-claim-order draws, draw index within that thread).
+    Direct in-thread iteration reproduces the raw-Generator stream
+    exactly. A prefetching ``BatchLoader`` runs each epoch's transforms
+    on a FRESH thread, so epoch k>=2 draws from spawn-child k-1 instead
+    of continuing epoch 1's stream -- still bit-reproducible run-to-run
+    at ``workers=1`` (claim order is sequential; pinned by
+    tests/test_data.py::test_thread_local_rng_streams_and_augmented_workers),
+    but not equal to a prefetch=0 run of the same seed. With
+    ``workers>1`` the sample<->draw pairing is scheduling-dependent.
 
     Built once per pipeline (``get_training_transforms`` /
     ``get_testing_transforms``) and shared by all its transforms, so two
@@ -141,48 +152,39 @@ class RandomColorJitter:
         order = self.rng.permutation(4)
         return b, c, s, h, order
 
-    def _jitter_fn(self, draw=None):
-        b, c, s, h, order = draw if draw is not None else self._draw()
+    def _draw_spec(self):
+        """One jitter draw as the spec dict both backends consume
+        (native: mvs_load_images_jitter; PIL: apply_jitter_pil -- a
+        single rendition, so the two cannot drift)."""
+        b, c, s, h, order = self._draw()
+        return {"order": [int(o) for o in order], "brightness": float(b),
+                "contrast": float(c), "saturation": float(s),
+                "hue_shift": int(h * 255)}
 
-        def apply(img):
-            for op in order:
-                if op == 0:
-                    img = ImageEnhance.Brightness(img).enhance(b)
-                elif op == 1:
-                    img = ImageEnhance.Contrast(img).enhance(c)
-                elif op == 2:
-                    img = ImageEnhance.Color(img).enhance(s)
-                else:
-                    hsv = np.array(img.convert("HSV"))
-                    hsv[..., 0] = (hsv[..., 0].astype(np.int16)
-                                   + int(h * 255)) % 256
-                    img = Image.fromarray(hsv, "HSV").convert("RGB")
-            return img
+    def _jitter_fn(self, spec=None):
+        from .native_images import apply_jitter_pil
 
-        return apply
+        spec = spec if spec is not None else self._draw_spec()
+        return lambda img: apply_jitter_pil(img, spec)
 
     def __call__(self, sample):
         from .native_images import has_refs, materialize_pil, sample_images
 
-        draw = self._draw()
+        spec = self._draw_spec()
         if has_refs(sample):
             # Native decode path: record the jitter on the refs so the
             # C++ pipeline applies it between resize and conversion
-            # (bit-exact with the PIL ops below; tests/
-            # test_native_loader.py). Same RNG draw either way, so the
-            # two backends produce identical pixels for identical seeds.
+            # (bit-exact with the PIL ops; tests/test_native_loader.py).
+            # Same RNG draw either way, so the two backends produce
+            # identical pixels for identical seeds.
             from .. import native
 
             if native.available():
-                b, c, s, h, order = draw
-                spec = {"order": [int(o) for o in order],
-                        "brightness": float(b), "contrast": float(c),
-                        "saturation": float(s), "hue_shift": int(h * 255)}
                 for im in sample_images(sample):
                     im.jitter = spec
                 return sample
         sample = materialize_pil(sample)
-        fn = self._jitter_fn(draw)
+        fn = self._jitter_fn(spec)
         sample["left_image"] = fn(sample["left_image"])
         sample["right_images"] = [fn(im) for im in sample["right_images"]]
         return sample

@@ -486,7 +486,11 @@ PALLAS_GN_APPLY = False
 def resnet_block_s2d(params, x: jnp.ndarray, dilation: int) -> jnp.ndarray:
     c4 = params["conv"]["w"].shape[-1] * 4
     out = conv2d_s2d(params["conv"], x, dilation)
-    if PALLAS_GN_APPLY and jax.default_backend() == "tpu":
+    # Like every Pallas path: TPU at DEFAULT ambient matmul precision
+    # only -- strict-parity modes must keep the exact XLA composition
+    # (the kernel's apply differs by f32 fma ordering).
+    if (PALLAS_GN_APPLY and jax.default_backend() == "tpu"
+            and jax.config.jax_default_matmul_precision in (None, "default")):
         from ..ops.pallas.gn_apply import (
             gn_apply_residual_fused, gn_apply_residual_supported)
         if gn_apply_residual_supported(out):

@@ -135,6 +135,36 @@ def _parity_check(lib) -> bool:
                 ref = np.asarray(pil, np.float32) / 255.0
                 if not np.array_equal(out[0], ref):
                     return False
+            # Jitter path: ``available`` also gates the C++ training
+            # augmentation (decode_backend=auto is the train default),
+            # so probe all 4 ops too. Factors chosen float-exactness-
+            # hostile (non-representable, alpha > 1); a compiler that
+            # contracts the blend's two roundings into an fma, x87
+            # excess precision, or any ApplyJitter drift fails here and
+            # the host silently keeps PIL.
+            from ..data.native_images import apply_jitter_pil
+
+            spec = {"order": [1, 3, 0, 2], "brightness": 1.1999,
+                    "contrast": 0.8123, "saturation": 1.2,
+                    "hue_shift": -17}
+            out = np.empty((1, 24, 32, 3), np.float32)
+            order_arr = (ctypes.c_int * 4)(*spec["order"])
+            lib.mvs_load_images_jitter(
+                ap, 1, 24, 32, order_arr, 4,
+                ctypes.c_float(spec["brightness"]),
+                ctypes.c_float(spec["contrast"]),
+                ctypes.c_float(spec["saturation"]),
+                ctypes.c_int(spec["hue_shift"]),
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), 1)
+            if status[0] != 0:
+                return False
+            pil = Image.open(path).convert("RGB").resize(
+                (32, 24), Image.BILINEAR)
+            ref = np.asarray(apply_jitter_pil(pil, spec),
+                             np.float32) / 255.0
+            if not np.array_equal(out[0], ref):
+                return False
         finally:
             os.unlink(path)
         return True

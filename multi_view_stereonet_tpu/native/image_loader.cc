@@ -337,6 +337,46 @@ void ApplyJitter(unsigned char* px, int rows, int cols, const int* order,
   }
 }
 
+// Shared per-image front: decode + resize-to-target. On success *px
+// points at (rows, cols, 3) u8 pixels inside rgb or resized.
+bool DecodeAndResize(const char* path, int rows, int cols,
+                     std::vector<unsigned char>* rgb,
+                     std::vector<unsigned char>* resized,
+                     unsigned char** px) {
+  int w = 0, h = 0;
+  if (!DecodeJpeg(path, rgb, &w, &h)) return false;
+  *px = rgb->data();
+  if (w != cols || h != rows) {
+    resized->resize(static_cast<size_t>(rows) * cols * 3);
+    ResizeBilinear(rgb->data(), w, h, resized->data(), cols, rows);
+    *px = resized->data();
+  }
+  return true;
+}
+
+// Shared thread pool: work(i, rgb_scratch, resized_scratch) per image.
+template <typename Fn>
+void RunPool(int n, int n_threads, Fn work_item) {
+  std::atomic<int> next(0);
+  auto work = [&]() {
+    std::vector<unsigned char> rgb, resized;
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= n) return;
+      work_item(i, &rgb, &resized);
+    }
+  };
+  int nt = n_threads < 1 ? 1 : (n_threads > n ? n : n_threads);
+  if (nt == 1) {
+    work();
+    return;
+  }
+  std::vector<std::thread> pool;
+  pool.reserve(nt);
+  for (int t = 0; t < nt; ++t) pool.emplace_back(work);
+  for (auto& t : pool) t.join();
+}
+
 }  // namespace
 
 extern "C" {
@@ -374,51 +414,31 @@ int mvs_jpeg_dims(const char* path, int* w, int* h) {
 void mvs_load_images(const char** paths, int n, int rows, int cols,
                      float mean, float stddev, float* out, int* status,
                      int n_threads) {
-  std::atomic<int> next(0);
   const float inv = 1.0f / (255.0f * stddev);
   const float off = mean / stddev;
   const bool plain = (mean == 0.0f && stddev == 1.0f);
-  auto work = [&]() {
-    std::vector<unsigned char> rgb, resized;
-    for (;;) {
-      int i = next.fetch_add(1);
-      if (i >= n) return;
-      int w = 0, h = 0;
-      if (!DecodeJpeg(paths[i], &rgb, &w, &h)) {
-        status[i] = 1;
-        continue;
-      }
-      const unsigned char* px = rgb.data();
-      if (w != cols || h != rows) {
-        resized.resize(static_cast<size_t>(rows) * cols * 3);
-        ResizeBilinear(rgb.data(), w, h, resized.data(), cols, rows);
-        px = resized.data();
-      }
-      float* dst = out + static_cast<size_t>(i) * rows * cols * 3;
-      size_t count = static_cast<size_t>(rows) * cols * 3;
-      if (plain) {
-        // Exact x / 255.0f division: bit-identical to the numpy ToArray
-        // path (multiply-by-reciprocal is 1 ulp off).
-        for (size_t j = 0; j < count; ++j) {
-          dst[j] = px[j] / 255.0f;
-        }
-      } else {
-        for (size_t j = 0; j < count; ++j) {
-          dst[j] = px[j] * inv - off;
-        }
-      }
-      status[i] = 0;
+  RunPool(n, n_threads, [&](int i, std::vector<unsigned char>* rgb,
+                            std::vector<unsigned char>* resized) {
+    unsigned char* px;
+    if (!DecodeAndResize(paths[i], rows, cols, rgb, resized, &px)) {
+      status[i] = 1;
+      return;
     }
-  };
-  int nt = n_threads < 1 ? 1 : (n_threads > n ? n : n_threads);
-  if (nt == 1) {
-    work();
-    return;
-  }
-  std::vector<std::thread> pool;
-  pool.reserve(nt);
-  for (int t = 0; t < nt; ++t) pool.emplace_back(work);
-  for (auto& t : pool) t.join();
+    float* dst = out + static_cast<size_t>(i) * rows * cols * 3;
+    size_t count = static_cast<size_t>(rows) * cols * 3;
+    if (plain) {
+      // Exact x / 255.0f division: bit-identical to the numpy ToArray
+      // path (multiply-by-reciprocal is 1 ulp off).
+      for (size_t j = 0; j < count; ++j) {
+        dst[j] = px[j] / 255.0f;
+      }
+    } else {
+      for (size_t j = 0; j < count; ++j) {
+        dst[j] = px[j] * inv - off;
+      }
+    }
+    status[i] = 0;
+  });
 }
 
 // Like mvs_load_images (mean/std fixed to 0/1 -- the reference's
@@ -432,42 +452,22 @@ void mvs_load_images_jitter(const char** paths, int n, int rows, int cols,
                             const int* order, int n_ops, float brightness,
                             float contrast, float saturation, int hue_shift,
                             float* out, int* status, int n_threads) {
-  std::atomic<int> next(0);
-  auto work = [&]() {
-    std::vector<unsigned char> rgb, resized;
-    for (;;) {
-      int i = next.fetch_add(1);
-      if (i >= n) return;
-      int w = 0, h = 0;
-      if (!DecodeJpeg(paths[i], &rgb, &w, &h)) {
-        status[i] = 1;
-        continue;
-      }
-      unsigned char* px = rgb.data();
-      if (w != cols || h != rows) {
-        resized.resize(static_cast<size_t>(rows) * cols * 3);
-        ResizeBilinear(rgb.data(), w, h, resized.data(), cols, rows);
-        px = resized.data();
-      }
-      ApplyJitter(px, rows, cols, order, n_ops, brightness, contrast,
-                  saturation, hue_shift);
-      float* dst = out + static_cast<size_t>(i) * rows * cols * 3;
-      size_t count = static_cast<size_t>(rows) * cols * 3;
-      for (size_t j = 0; j < count; ++j) {
-        dst[j] = px[j] / 255.0f;
-      }
-      status[i] = 0;
+  RunPool(n, n_threads, [&](int i, std::vector<unsigned char>* rgb,
+                            std::vector<unsigned char>* resized) {
+    unsigned char* px;
+    if (!DecodeAndResize(paths[i], rows, cols, rgb, resized, &px)) {
+      status[i] = 1;
+      return;
     }
-  };
-  int nt = n_threads < 1 ? 1 : (n_threads > n ? n : n_threads);
-  if (nt == 1) {
-    work();
-    return;
-  }
-  std::vector<std::thread> pool;
-  pool.reserve(nt);
-  for (int t = 0; t < nt; ++t) pool.emplace_back(work);
-  for (auto& t : pool) t.join();
+    ApplyJitter(px, rows, cols, order, n_ops, brightness, contrast,
+                saturation, hue_shift);
+    float* dst = out + static_cast<size_t>(i) * rows * cols * 3;
+    size_t count = static_cast<size_t>(rows) * cols * 3;
+    for (size_t j = 0; j < count; ++j) {
+      dst[j] = px[j] / 255.0f;
+    }
+    status[i] = 0;
+  });
 }
 
 }  // extern "C"

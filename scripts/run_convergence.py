@@ -45,7 +45,13 @@ def main():
     argv = sys.argv[1:]
     if "--scene" in argv:
         i = argv.index("--scene")
+        if i + 1 >= len(argv) or argv[i + 1].startswith("--"):
+            sys.exit("usage: run_convergence.py [workdir] "
+                     "[--scene plane|layered|layered_track] [--tpu]")
         scene = argv[i + 1]
+        if scene not in ("plane", "layered", "layered_track"):
+            sys.exit(f"unknown scene {scene!r} "
+                     "(plane | layered | layered_track)")
         argv = argv[:i] + argv[i + 2:]
     args = [a for a in argv if not a.startswith("--")]
     work = args[0] if args else f"/tmp/convergence_run_{scene}"

@@ -265,6 +265,25 @@ def test_thread_local_rng_streams_and_augmented_workers(gta_tree):
     names = [n for b in batches for n in b["left_filenames"]]
     expected = [os.path.join(data_dir, n) for n in ds.left_names]
     assert sorted(names) == sorted(expected)
+
+    # (d) determinism contract at workers=1 + prefetch: each epoch's
+    # transforms run on a FRESH prefetch thread, which claims the next
+    # deterministic child stream -- two identically-seeded loaders must
+    # produce bit-identical pixels across MULTIPLE epochs (the pairing
+    # is reproducible run-to-run even though epoch 2+ does not continue
+    # epoch 1's raw stream).
+    def two_epochs(seed):
+        t = get_training_transforms({"size": [64, 96], "augment": True},
+                                    np.random.default_rng(seed))
+        d = GTASfMMultiViewDataset(data_dir, split, transform=t,
+                                   load_groundtruth_depthmaps=False,
+                                   shuffle=False)
+        loader = BatchLoader(d, batch_size=2, prefetch=2, drop_last=False,
+                             workers=1)
+        return [b["left_image"] for _ in range(2) for b in loader]
+
+    for a, b in zip(two_epochs(5), two_epochs(5)):
+        np.testing.assert_array_equal(a, b)
     for b in batches:
         assert np.isfinite(b["left_image"]).all()
         assert 0.0 <= b["left_image"].min() and b["left_image"].max() <= 1.0
