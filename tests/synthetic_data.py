@@ -234,7 +234,7 @@ def _render_view(texture, tex_K, K, rows, cols, T_cam, plane_depth,
 
 def make_gta_sfm_tree(root, num_sequences=2, frames=4, rows=96, cols=128,
                       plane_depth=8.0, seed=0, comparisons=1,
-                      plane_normal=None, scene="plane"):
+                      plane_normal=None, scene="plane", frame_ids=None):
     """Write a GTA-SfM-layout tree + a multi-view split file.
 
     ``comparisons`` controls the number of comparison views per split line
@@ -245,8 +245,16 @@ def make_gta_sfm_tree(root, num_sequences=2, frames=4, rows=96, cols=128,
     plane with the multi-layer occlusion world (checker/noise textures at
     multiple frequencies, 3 foreground cards over a tilted background,
     depth 3.5-16+, real occlusion boundaries) -- the hardest accuracy
-    protocol. Returns (data_dir, split_path).
+    protocol. ``frame_ids`` (len == ``frames``) assigns explicit,
+    possibly non-contiguous image ids to the frames -- 4 of 200
+    sequences in the real gta_sfm_overlap0.5_train split have id gaps
+    (e.g. train/20190125_153845: 176 ids spanning 0..179), so gapped
+    trees exercise the id-keyed calibration lookup. Returns
+    (data_dir, split_path).
     """
+    if frame_ids is None:
+        frame_ids = list(range(frames))
+    assert len(frame_ids) == frames
     rng = np.random.default_rng(seed)
     data_dir = os.path.join(root, "data")
     split_lines = []
@@ -282,12 +290,14 @@ def make_gta_sfm_tree(root, num_sequences=2, frames=4, rows=96, cols=128,
                 img, depth = _render_view(texture, K_true, K_true, rows, cols,
                                           T_cam, plane_depth,
                                           plane_normal=plane_normal)
-            name = f"{f:06d}"
+            name = f"{frame_ids[f]:06d}"
             Image.fromarray(img).save(os.path.join(cdir, name + ".jpg"),
                                       quality=95)
             np.save(os.path.join(ddir, name + ".npy"), depth)
-            k_lines.append(f"{f} " + " ".join(str(v) for v in K.ravel()))
-            p_lines.append(f"{f} " + " ".join(str(v) for v in T_cam.ravel()))
+            k_lines.append(f"{frame_ids[f]} "
+                           + " ".join(str(v) for v in K.ravel()))
+            p_lines.append(f"{frame_ids[f]} "
+                           + " ".join(str(v) for v in T_cam.ravel()))
             names.append(f"{seq}/color/{name}.jpg")
 
         with open(os.path.join(data_dir, seq, "intrinsics.txt"), "w") as fh:

@@ -54,6 +54,58 @@ def test_gta_calibration_vs_reference(reference_modules, gta_tree):
         np.testing.assert_allclose(s["left_depthmap_true"], depth_ref)
 
 
+def test_gta_gapped_frame_ids(tmp_path):
+    """Non-contiguous image ids resolve to the right calibration rows.
+
+    4 of 200 sequences in the real gta_sfm_overlap0.5_train split have
+    frame-id gaps (e.g. train/20190125_153845: 176 ids spanning 0..179).
+    The runtime lookup here is keyed by image id (`_SequenceCache`), so a
+    gap must not shift poses -- and split curation (`create_mvs_split`)
+    must keep working where the reference's positional zip of the image
+    list against the pose table rows would mis-pair every frame after
+    the gap (reference datasets/gta_sfm_dataset.py:68-161).
+    """
+    from multi_view_stereonet_tpu.data.gta_sfm import create_mvs_split
+
+    ids = [0, 2, 3, 7]  # gapped: ids 1, 4-6 missing
+    data_dir, split = make_gta_sfm_tree(
+        str(tmp_path), num_sequences=1, frames=len(ids), rows=48, cols=64,
+        frame_ids=ids)
+
+    ds = GTASfMMultiViewDataset(data_dir, split, transform=None,
+                                load_groundtruth_depthmaps=True,
+                                shuffle=False)
+    # Expected relative poses straight from the id-keyed table on disk.
+    seq_dir = os.path.join(data_dir, "test", "seq00")
+    rows = np.loadtxt(os.path.join(seq_dir, "poses.txt"), skiprows=1,
+                      ndmin=2)
+    pose_by_id = {int(r[0]): r[1:].reshape(4, 4) for r in rows}
+    assert sorted(pose_by_id) == ids
+    assert len(ds) == len(ids) - 1
+    for i in range(len(ds)):
+        s = ds[i]
+        lid = int(os.path.splitext(os.path.basename(s["left_filename"]))[0])
+        rid = int(os.path.splitext(
+            os.path.basename(s["right_filenames"][0]))[0])
+        T_expect = np.linalg.inv(pose_by_id[lid]) @ pose_by_id[rid]
+        np.testing.assert_allclose(s["T_right_in_left"][0], T_expect,
+                                   rtol=1e-5, atol=1e-6)
+        assert s["left_depthmap_true"].shape == (48, 64)
+
+    # Curation on the gapped tree: id-keyed, must emit pairs for every
+    # reference frame with a valid partner (table-vs-disk mismatch is
+    # covered separately in test_cli_coverage.py).
+    out = os.path.join(str(tmp_path), "curated.txt")
+    create_mvs_split(os.path.join(data_dir, "test"), out,
+                     num_comparison_frames=1, method="pose",
+                     min_trans_diff=0.1, max_trans_diff=10.0)
+    lines = [l.split() for l in open(out) if l.strip()]
+    assert len(lines) == len(ids)  # every frame has an in-window partner
+    for toks in lines:
+        assert all(
+            os.path.exists(os.path.join(data_dir, "test", t)) for t in toks)
+
+
 def test_demon_poses_vs_reference(reference_modules, demon_tree):
     data_dir, split = demon_tree
     import datasets.demon_dataset as dd
