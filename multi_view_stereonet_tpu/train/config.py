@@ -36,10 +36,12 @@ DEFAULTS = {
     # Reference num_workers: 4 (params.yaml:19, torch DataLoader workers);
     # here: BatchLoader decode threads.
     "num_workers": 4,
-    # "auto" = the native C++ decoder when usable (bit-exact with PIL,
-    # tests/test_native_loader.py), else PIL. Augmentations that mutate
-    # pixels (color jitter) transparently materialize through PIL either
-    # way, so the backend never changes training numerics.
+    # "auto" = the native C++ decoder when usable, else PIL. On the
+    # native path the whole decode+resize+color-jitter chain runs in C++
+    # (native/image_loader.cc) -- it is its verified BIT-EXACTNESS with
+    # PIL (tests/test_native_loader.py, incl. the jitter blend/L/HSV
+    # semantics) that keeps training numerics backend-invariant, not any
+    # PIL materialization.
     "decode_backend": "auto",
     "print_freq": 1,
     "debug_image_freq": 50,

@@ -273,7 +273,12 @@ def train(params_cfg, data_dir, train_split, val_split, output_dir,
             f"multi-host training needs batch_size ({batch_size}) divisible "
             f"by the mesh data-axis size ({n_data})")
 
-    jit_step = jax.jit(train_step, donate_argnums=(0, 1))
+    # Deliberately NOT donating params/opt_state: the nanabort path below
+    # dumps the last state whose loss was verified finite, which requires
+    # the pre-step buffers to stay alive across the update. At 0.6 M
+    # parameters (~10 MB params+opt) the donation aliasing saves nothing
+    # measurable against the 60 ms step.
+    jit_step = jax.jit(train_step)
     val_step = (make_val_step(model_config, loss_config)
                 if val_loader is not None else None)
     # One reusable jitted forward for debug-image dumps (a fresh lambda
@@ -301,20 +306,39 @@ def train(params_cfg, data_dir, train_split, val_split, output_dir,
         graceful = GracefulStop()
         stop_check = graceful
 
+    # Rolling references for the nanabort dump. ``good_state`` is the
+    # last (params, opt_state, step) whose loss was VERIFIED finite --
+    # a finite loss implies finite params, since the loss is computed
+    # from them and NaN propagates through every conv. ``pending`` is
+    # the state that entered the step whose loss has been dispatched
+    # but not yet checked (the check runs one step delayed).
+    good_state = None
+    pending = None
+
     def abort_if_nonfinite(lossf, epoch):
         """Fail fast on a non-finite loss (the reference asserts inside the
-        loss itself, multi_view_stereonet/losses.py:38). The state is dumped
-        to a "-nanabort"-tagged checkpoint -- distinct from the epoch
-        checkpoints, so the last good one is never overwritten -- and the
-        process exits non-zero. Every process raises (a main-only abort
-        would deadlock the others at the next collective)."""
+        loss itself, multi_view_stereonet/losses.py:38). The dumped
+        "-nanabort" state is the last verified-good one (at most two steps
+        before the blowup), NOT the current params -- by abort time the
+        optimizer has already applied the NaN update, so the live state is
+        poisoned and useless for postmortem or a lower-LR resume. The tag
+        keeps it distinct from epoch checkpoints, so the last good one is
+        never overwritten; the process exits non-zero. Every process
+        raises (a main-only abort would deadlock the others at the next
+        collective)."""
         if math.isfinite(lossf):
             return
         if is_main:
-            path = ckpt.save_train_state(ckpt_root, epoch, params, opt_state,
-                                         step_count, suffix="-nanabort")
+            if good_state is not None:
+                gp, go, gstep = good_state
+            else:  # blew up before any loss was verified: dump as-entered
+                gp, go, gstep = pending if pending is not None else (
+                    params, opt_state, step_count)
+            path = ckpt.save_train_state(ckpt_root, epoch, gp, go,
+                                         gstep, suffix="-nanabort")
             print(f"FATAL: non-finite loss {lossf} at step {step_count}; "
-                  f"state dumped to {path}", file=sys.stderr, flush=True)
+                  f"last verified-good state (step {gstep}) dumped to "
+                  f"{path}", file=sys.stderr, flush=True)
         raise SystemExit(3)
 
     try:
@@ -339,6 +363,7 @@ def train(params_cfg, data_dir, train_split, val_split, output_dir,
                 else:
                     jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
 
+                entering = (params, opt_state, step_count)
                 with mesh:
                     params, opt_state, loss, loss_dict = jit_step(
                         params, opt_state, jbatch)
@@ -351,6 +376,8 @@ def train(params_cfg, data_dir, train_split, val_split, output_dir,
                 # training garbage until the next print/checkpoint.
                 if prev_loss is not None:
                     abort_if_nonfinite(float(prev_loss), epoch)
+                    good_state = pending  # its loss just verified finite
+                pending = entering
                 prev_loss = loss
                 if profile_dir and step_count >= profile_steps:
                     jax.block_until_ready(loss)
@@ -359,6 +386,7 @@ def train(params_cfg, data_dir, train_split, val_split, output_dir,
                 if step_count % params_cfg["print_freq"] == 0:
                     lossf = float(loss)
                     abort_if_nonfinite(lossf, epoch)
+                    good_state = pending  # current loss verified finite
                     if is_main:
                         print(f"epoch {epoch} batch {batch_idx} step "
                               f"{step_count} loss {lossf:.4f}")
@@ -387,6 +415,7 @@ def train(params_cfg, data_dir, train_split, val_split, output_dir,
             # verify it before the state is saved as a good epoch checkpoint.
             if prev_loss is not None:
                 abort_if_nonfinite(float(prev_loss), epoch)
+                good_state = pending
 
             stopping = stop_check()
             if val_loader is not None and is_main and not stopping:

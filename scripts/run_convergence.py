@@ -41,20 +41,20 @@ def main():
     from multi_view_stereonet_tpu.train.train_cli import train
     from synthetic_data import make_gta_sfm_tree
 
-    scene = "plane"
-    argv = sys.argv[1:]
-    if "--scene" in argv:
-        i = argv.index("--scene")
-        if i + 1 >= len(argv) or argv[i + 1].startswith("--"):
-            sys.exit("usage: run_convergence.py [workdir] "
-                     "[--scene plane|layered|layered_track] [--tpu]")
-        scene = argv[i + 1]
-        if scene not in ("plane", "layered", "layered_track"):
-            sys.exit(f"unknown scene {scene!r} "
-                     "(plane | layered | layered_track)")
-        argv = argv[:i] + argv[i + 2:]
-    args = [a for a in argv if not a.startswith("--")]
-    work = args[0] if args else f"/tmp/convergence_run_{scene}"
+    import argparse
+
+    # argparse (rather than ad-hoc scanning) so "--scene=layered" works
+    # and a misspelled flag errors out instead of silently training the
+    # default plane world over committed artifacts.
+    ap = argparse.ArgumentParser(description=__doc__, allow_abbrev=False)
+    ap.add_argument("workdir", nargs="?", default=None)
+    ap.add_argument("--scene", default="plane",
+                    choices=("plane", "layered", "layered_track"))
+    ap.add_argument("--tpu", action="store_true",
+                    help="train on the TPU (already consumed at import)")
+    ns = ap.parse_args()
+    scene = ns.scene
+    work = ns.workdir if ns.workdir else f"/tmp/convergence_run_{scene}"
     os.makedirs(work, exist_ok=True)
     data_dir, split = make_gta_sfm_tree(
         work, num_sequences=2, frames=10, rows=96, cols=128, seed=7,

@@ -40,8 +40,11 @@ def _sample_bilinear_wrap(texture, x, y):
     tex_rows, tex_cols = texture.shape[:2]
     x = np.mod(x, tex_cols)
     y = np.mod(y, tex_rows)
-    x0 = np.floor(x).astype(int)
-    y0 = np.floor(y).astype(int)
+    # np.mod of a tiny negative float can return the divisor itself
+    # (np.mod(-1e-15, 64) == 64.0), which would index one past the last
+    # texel row/col -- clamp the integer cell into range.
+    x0 = np.minimum(np.floor(x).astype(int), tex_cols - 1)
+    y0 = np.minimum(np.floor(y).astype(int), tex_rows - 1)
     x1 = (x0 + 1) % tex_cols
     y1 = (y0 + 1) % tex_rows
     wx = (x - x0)[:, None]
@@ -60,6 +63,23 @@ def _plane_basis(n):
     return e1, e2 / np.linalg.norm(e2)
 
 
+def _add_layer(layers, rng, p0, normal, half_extent, tex_rows, periods):
+    """Append one textured plane/card layer (shared by both layered-world
+    constructors; the rng draw order is part of the committed artifacts'
+    seed contract)."""
+    n = np.asarray(normal, np.float64)
+    n = n / np.linalg.norm(n)
+    hu, hv = half_extent
+    tex = _checker_texture(rng, tex_rows, tex_rows, periods=periods)
+    layers.append({
+        "n": n, "p0": np.asarray(p0, np.float64),
+        "basis": _plane_basis(n), "half_extent": (hu, hv),
+        "texture": tex,
+        "tex_scale": tex_rows / (2.0 * min(hu, hv))
+        if np.isfinite(hu) else 24.0,
+    })
+
+
 def _layered_scene(rng):
     """Textured multi-layer world: tilted far background + 3 bounded
     foreground cards at near/mid depths => real occlusion boundaries and
@@ -69,17 +89,7 @@ def _layered_scene(rng):
     layers = []
 
     def add(p0, normal, half_extent, tex_rows, periods):
-        n = np.asarray(normal, np.float64)
-        n = n / np.linalg.norm(n)
-        hu, hv = half_extent
-        tex = _checker_texture(rng, tex_rows, tex_rows, periods=periods)
-        layers.append({
-            "n": n, "p0": np.asarray(p0, np.float64),
-            "basis": _plane_basis(n), "half_extent": (hu, hv),
-            "texture": tex,
-            "tex_scale": tex_rows / (2.0 * min(hu, hv))
-            if np.isfinite(hu) else 24.0,
-        })
+        _add_layer(layers, rng, p0, normal, half_extent, tex_rows, periods)
 
     # Background: tilted plane through (0, 0, 14), depth varies across view.
     add((0.0, 0.0, 14.0), (0.25, 0.15, 1.0), (np.inf, np.inf), 512, (32, 8))
@@ -104,17 +114,7 @@ def _layered_track_scene(rng, span, depth_scale=0.25):
     layers = []
 
     def add(p0, normal, half_extent, tex_rows, periods):
-        n = np.asarray(normal, np.float64)
-        n = n / np.linalg.norm(n)
-        hu, hv = half_extent
-        tex = _checker_texture(rng, tex_rows, tex_rows, periods=periods)
-        layers.append({
-            "n": n, "p0": np.asarray(p0, np.float64),
-            "basis": _plane_basis(n), "half_extent": (hu, hv),
-            "texture": tex,
-            "tex_scale": tex_rows / (2.0 * min(hu, hv))
-            if np.isfinite(hu) else 24.0,
-        })
+        _add_layer(layers, rng, p0, normal, half_extent, tex_rows, periods)
 
     ds = depth_scale
     add((span / 2, 0.0, 14.0 * ds), (0.25, 0.15, 1.0), (np.inf, np.inf),

@@ -136,9 +136,15 @@ def test_preemption_checkpoint_and_resume(tmp_path):
 def test_nan_batch_aborts_with_tagged_checkpoint(tmp_path, monkeypatch):
     """A non-finite loss must fail fast (reference losses.py:38 asserts):
     the loop exits non-zero after dumping a "-nanabort"-tagged state that
-    does NOT register as a resumable epoch checkpoint."""
+    does NOT register as a resumable epoch checkpoint. The dump must be
+    the last VERIFIED-good state, not the live one -- by abort time the
+    optimizer has already applied the NaN update, so dumping the current
+    params would record an all-NaN pytree useless for postmortem."""
+    import jax
+
     import multi_view_stereonet_tpu.train.train_cli as tc
-    from multi_view_stereonet_tpu.checkpoint.native import latest_epoch
+    from multi_view_stereonet_tpu.checkpoint.native import (
+        latest_epoch, load_params)
 
     data_dir, split = make_gta_sfm_tree(str(tmp_path), rows=32, cols=48,
                                         frames=6, num_sequences=1)
@@ -147,22 +153,30 @@ def test_nan_batch_aborts_with_tagged_checkpoint(tmp_path, monkeypatch):
     real_loader = tc.BatchLoader
 
     class PoisonedLoader(real_loader):
+        """First batch clean (so one good update lands and its loss is
+        verified), every later batch NaN-poisoned."""
+
         def __iter__(self):
-            for batch in super().__iter__():
-                batch = dict(batch)
-                img = np.array(batch["left_image"])
-                img[..., 0] = np.nan
-                batch["left_image"] = img
+            for i, batch in enumerate(super().__iter__()):
+                if i >= 1:
+                    batch = dict(batch)
+                    img = np.array(batch["left_image"])
+                    img[..., 0] = np.nan
+                    batch["left_image"] = img
                 yield batch
 
     monkeypatch.setattr(tc, "BatchLoader", PoisonedLoader)
     with pytest.raises(SystemExit) as exc:
-        train(_tiny_cfg(), data_dir, split, "", out, max_steps=3)
+        train(_tiny_cfg(), data_dir, split, "", out, max_steps=4)
     assert exc.value.code == 3
     tagged = glob.glob(os.path.join(out, "checkpoints", "epoch*-nanabort"))
     assert tagged, "nanabort state dump missing"
     # The dump must not be mistaken for a good epoch checkpoint.
     assert latest_epoch(os.path.join(out, "checkpoints")) is None
+    # ... and it must be finite everywhere (the pre-blowup state).
+    dumped = load_params(tagged[0])
+    for leaf in jax.tree.leaves(dumped):
+        assert np.all(np.isfinite(leaf)), "nanabort dump is NaN-poisoned"
 
 
 @pytest.mark.slow
