@@ -155,7 +155,14 @@ def disparity_to_idepth(K: jnp.ndarray, T_right_in_left: jnp.ndarray,
     ATA = A0 * A0 + A1 * A1
     ATb = A0 * b0 + A1 * b1
 
-    idepth = jnp.where(valid, ATb / ATA, 0.0)
+    # Guard the 0/0 of a fully-degenerate LSQ (zero/near-zero baseline,
+    # where float rounding can leave epi_norm just above the 1e-6 mask
+    # threshold while ATA is exactly 0): the reference's
+    # `(~mask) * (ATb/ATA)` propagates that NaN; here the mask must
+    # actually kill it, so the denominator is made safe and masked on too
+    # (tests/test_geometry_fuzz.py).
+    safe = ATA > 0
+    idepth = jnp.where(valid & safe, ATb / jnp.where(safe, ATA, 1.0), 0.0)
     return idepth.reshape(B, rows, cols)
 
 
