@@ -50,6 +50,16 @@ class ThreadLocalRng:
     but not equal to a prefetch=0 run of the same seed. With
     ``workers>1`` the sample<->draw pairing is scheduling-dependent.
 
+    Access-pattern caveat: stream assignment is first-draw-wins, so the
+    contract is per (seed, CLAIM ORDER) -- not per seed alone. Any
+    incidental draw before training (e.g. peeking ``ds[0]`` on the main
+    thread) claims a stream slot and shifts every later thread's
+    assignment by one. ``workers=1`` bit-reproducibility therefore
+    requires an identical access pattern between the runs being
+    compared, not just an identical seed. (Reserving the base stream
+    would not remove this: a pre-training peek would claim spawn-child
+    0 instead of the base and shift later epochs identically.)
+
     Built once per pipeline (``get_training_transforms`` /
     ``get_testing_transforms``) and shared by all its transforms, so two
     transforms never race on the same underlying generator from

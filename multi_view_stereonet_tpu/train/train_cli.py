@@ -257,6 +257,13 @@ def train(params_cfg, data_dir, train_split, val_split, output_dir,
 
     if is_main:
         print(f"model parameters: {count_parameters(params)}")
+        # Determinism note: with workers>1 the augmented sample<->jitter
+        # pairing is scheduling-dependent; exact run-to-run
+        # reproducibility needs num_workers: 1 (data/transforms.py
+        # ThreadLocalRng contract). Logged so every run records which
+        # regime it ran in.
+        print(f"data loader workers: {params_cfg.get('num_workers', 4)} "
+              "(run-to-run bit-reproducibility requires num_workers: 1)")
 
     # mesh_view > 1 (params.yaml) shards the comparison-view axis over a
     # second mesh dimension (docs/SCALING.md "view"); requires the
@@ -344,6 +351,10 @@ def train(params_cfg, data_dir, train_split, val_split, output_dir,
     try:
         for epoch in range(start_epoch, num_epochs):
             t_epoch = time.time()
+            # Shuffle order must be a function of the global epoch, not of
+            # this process's iteration count, or a resumed run diverges
+            # from the uninterrupted trajectory (loader.set_epoch).
+            loader.set_epoch(epoch)
             prev_loss = None
             for batch_idx, batch in enumerate(loader):
                 names = batch.pop("left_filenames")

@@ -12,17 +12,21 @@ import os
 import numpy as np
 from PIL import Image
 
-# 16-stop approximation of matplotlib's magma, interpolated to 256.
+# 16-stop approximation of matplotlib's magma (samples at linspace(0, 1,
+# 16) of the real colormap), linearly interpolated between stops. All 16
+# stops are distinct so the fallback ramp stays faithful over the full
+# [0, 1] range (the pre-r4 table repeated its last stop 6 times and
+# flattened above ~0.9).
 _MAGMA_STOPS = np.array([
-    [0.001462, 0.000466, 0.013866], [0.078815, 0.054184, 0.211667],
-    [0.232077, 0.059889, 0.437695], [0.390384, 0.100379, 0.501864],
-    [0.550287, 0.161158, 0.505719], [0.716387, 0.214982, 0.47529],
-    [0.868793, 0.287728, 0.409303], [0.967671, 0.439703, 0.35981],
-    [0.994738, 0.62435, 0.427397], [0.99568, 0.812706, 0.572645],
-    [0.987053, 0.991438, 0.749504], [0.987053, 0.991438, 0.749504],
-    [0.987053, 0.991438, 0.749504], [0.987053, 0.991438, 0.749504],
-    [0.987053, 0.991438, 0.749504], [0.987053, 0.991438, 0.749504],
-], dtype=np.float64)[:11]
+    [0.001462, 0.000466, 0.013866], [0.043830, 0.033830, 0.141886],
+    [0.123833, 0.067295, 0.295879], [0.232077, 0.059889, 0.437695],
+    [0.341482, 0.080564, 0.492631], [0.445163, 0.122724, 0.506901],
+    [0.550287, 0.161158, 0.505719], [0.658483, 0.196027, 0.490253],
+    [0.767398, 0.233705, 0.457755], [0.868793, 0.287728, 0.409303],
+    [0.944006, 0.377643, 0.365136], [0.981000, 0.498428, 0.369734],
+    [0.994738, 0.624350, 0.427397], [0.997228, 0.747981, 0.516859],
+    [0.993170, 0.870024, 0.626189], [0.987053, 0.991438, 0.749504],
+], dtype=np.float64)
 
 
 def _magma(values: np.ndarray) -> np.ndarray:

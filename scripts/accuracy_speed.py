@@ -19,6 +19,72 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 PRETRAINED = "/root/reference/pretrained/gta_sfm_150epochs/checkpoints/epoch0149"
 
+def canonical_batches(scene="layered", rows=480, cols=640, comparisons=1,
+                      plane_normal=None):
+    """THE canonical accuracy protocol, shared by this ladder and
+    bench.py's headline accuracy row so both artifacts quote the same
+    number for the same named scene.
+
+    Seeded synthetic GTA-SfM tree (tests/synthetic_data.make_gta_sfm_tree,
+    seed=0): 2 sequences x max(4, comparisons+2) frames -> 2 x 3 samples
+    at comparisons=1; testing transforms at (rows, cols); ground truth
+    loaded; BatchLoader batch_size=2 in split order, filenames popped.
+    Returns a list of numpy batches.
+
+    Reference analog: the eval protocol of test.py:41-71,166-186 (fixed
+    split order, GTA depth mask 0-1000 applied by the abs_rel helper).
+    """
+    import tempfile
+
+    from multi_view_stereonet_tpu.data import (
+        GTASfMMultiViewDataset, BatchLoader, get_testing_transforms,
+    )
+    try:
+        from tests.synthetic_data import make_gta_sfm_tree
+    except ImportError:  # bench.py puts tests/ itself on sys.path
+        from synthetic_data import make_gta_sfm_tree
+
+    root = tempfile.mkdtemp(prefix="accproto_")
+    data_dir, split = make_gta_sfm_tree(
+        root, rows=rows, cols=cols, frames=max(4, comparisons + 2),
+        num_sequences=2, comparisons=comparisons, plane_normal=plane_normal,
+        scene=scene)
+    ds = GTASfMMultiViewDataset(data_dir, split, 0,
+                                get_testing_transforms({"size": [rows, cols]}),
+                                load_groundtruth_depthmaps=True)
+    batches = []
+    for b in BatchLoader(ds, batch_size=2, shuffle=False, drop_last=False,
+                         workers=2):
+        b.pop("left_filenames")
+        b.pop("right_filenames")
+        batches.append(b)
+    return batches
+
+
+def abs_rel_over_batches(idepth_fn, batches):
+    """Mean per-sample abs_rel over the canonical batches.
+
+    ``idepth_fn(batch)`` -> numpy (B, H, W) idepth in TRUE (metric) units,
+    i.e. already divided by the unit-baseline normalizer. Applies the GTA
+    depth mask (0 < depth < 1000, reference test.py:41-58) to both truth
+    and estimate.
+    """
+    import numpy as np
+
+    rels = []
+    for b in batches:
+        idepth = idepth_fn(b)
+        for i in range(idepth.shape[0]):
+            depth_true = b["left_depthmap_true"][i]
+            est = np.where(idepth[i] > 0,
+                           1.0 / np.maximum(idepth[i], 1e-9), 0.0)
+            mask = (depth_true > 0) & (depth_true < 1e3) \
+                & (est > 0) & (est < 1e3)
+            rels.append(np.mean(np.abs(depth_true[mask] - est[mask])
+                                / depth_true[mask]))
+    return float(np.mean(rels))
+
+
 CONFIGS = {
     "highest": dict(matmul_precision="highest"),
     "high": dict(matmul_precision="high"),
@@ -48,19 +114,13 @@ def main():
     import numpy as np
 
     from multi_view_stereonet_tpu.checkpoint.native import load_any_params
-    from multi_view_stereonet_tpu.data import (
-        GTASfMMultiViewDataset, BatchLoader, get_testing_transforms,
-    )
     from multi_view_stereonet_tpu.models import (
         MultiViewStereoNetConfig, mvsnet_forward,
     )
     from multi_view_stereonet_tpu.train.pipeline import multi_view_unpack_batch
-    from tests.synthetic_data import make_gta_sfm_tree
     from __graft_entry__ import _example_batch
 
     names = sys.argv[1:] or list(CONFIGS)
-
-    import tempfile
 
     rows = int(os.environ.get("ACC_ROWS", 480))
     cols = int(os.environ.get("ACC_COLS", 640))
@@ -74,24 +134,10 @@ def main():
     scene = os.environ.get("ACC_SCENE", "plane")
     normal = (0.35, 0.25, 1.0) if scene == "slanted" else None
     comparisons = int(os.environ.get("ACC_COMPARISONS", 1))
-    root = tempfile.mkdtemp(prefix="accspeed_")
-    data_dir, split = make_gta_sfm_tree(root, rows=rows, cols=cols,
-                                        frames=max(4, comparisons + 2),
-                                        num_sequences=2,
-                                        comparisons=comparisons,
-                                        plane_normal=normal,
-                                        scene="layered" if scene == "layered"
-                                        else "plane")
+    batches = canonical_batches(
+        scene="layered" if scene == "layered" else "plane",
+        rows=rows, cols=cols, comparisons=comparisons, plane_normal=normal)
     params = load_any_params(PRETRAINED)
-
-    tf = get_testing_transforms({"size": [rows, cols]})
-    ds = GTASfMMultiViewDataset(data_dir, split, 0, tf,
-                                load_groundtruth_depthmaps=True)
-    batches = []
-    for b in BatchLoader(ds, batch_size=2, shuffle=False, drop_last=False,
-                         workers=2):
-        b.pop("left_filenames"); b.pop("right_filenames")
-        batches.append(b)
 
     def forward(config, jbatch):
         inputs = multi_view_unpack_batch(jbatch)
@@ -111,25 +157,23 @@ def main():
         config = MultiViewStereoNetConfig(**CONFIGS[name])
         fwd = jax.jit(lambda b, c=config: forward(c, b))
 
-        rels, max_dev = [], 0.0
-        for bi, b in enumerate(batches):
+        maps = []
+
+        def run(b, fwd=fwd, maps=maps):
             jb = {k: jnp.asarray(v) for k, v in b.items()}
             idepth = np.asarray(fwd(jb))
+            maps.append(idepth)
+            return idepth
+
+        abs_rel = abs_rel_over_batches(run, batches)
+        max_dev = 0.0
+        for bi, idepth in enumerate(maps):
             if name == "highest":
                 ref_maps[bi] = idepth
             elif bi in ref_maps:
                 rng_ = ref_maps[bi].max() - ref_maps[bi].min()
                 max_dev = max(max_dev, float(
                     np.abs(idepth - ref_maps[bi]).max() / rng_ * 100.0))
-            for i in range(idepth.shape[0]):
-                depth_true = b["left_depthmap_true"][i]
-                est = np.where(idepth[i] > 0,
-                               1.0 / np.maximum(idepth[i], 1e-9), 0.0)
-                mask = (depth_true > 0) & (depth_true < 1e3) \
-                    & (est > 0) & (est < 1e3)
-                rels.append(np.mean(np.abs(depth_true[mask] - est[mask])
-                                    / depth_true[mask]))
-        abs_rel = float(np.mean(rels))
 
         @jax.jit
         def loop(b=bench_batch, c=config):
