@@ -76,6 +76,16 @@ class BatchLoader:
         n = len(self.dataset)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
+    def set_epoch(self, epoch: int):
+        """Align the shuffle stream with a GLOBAL epoch counter (the torch
+        DistributedSampler.set_epoch idiom). Without this, each process
+        counts iterations from zero, so a run resumed from an epoch-k
+        checkpoint reshuffles epoch k+1 like a fresh epoch 1 and diverges
+        from the uninterrupted run's data order. The train CLI calls this
+        every epoch, making the order a pure function of (seed, epoch) --
+        tests/test_train_cli.py asserts resumed losses match bitwise."""
+        self._epoch = epoch
+
     def _index_order(self):
         n = len(self.dataset)
         if self.shuffle:

@@ -180,6 +180,110 @@ def test_nan_batch_aborts_with_tagged_checkpoint(tmp_path, monkeypatch):
 
 
 @pytest.mark.slow
+def test_training_convergence_regression(tmp_path):
+    """Bounded convergence regression on the layered_track scene: the
+    exact recipe of docs/convergence/SUMMARY_layered_track.md (96x128,
+    batch 4, supervised-only, Adam 1e-3) for a fixed 7-epoch budget.
+    Catches silent recipe breaks (a lost gradient path, optimizer
+    wiring, LR schedule) that one-step grad parity and plumbing smoke
+    tests cannot see. Thresholds are ~2x slack over the committed
+    trajectory (losses_layered_track.txt: first-step loss 164 -> epoch-6
+    mean ~34; validation EPE 23.2 -> 11.5; refined_zero_frac 0.999 -> 0).
+
+    Also the resume-to-same-trajectory guarantee: a REAL mid-run SIGTERM
+    (the production GracefulStop path) delivered at an epoch boundary +
+    a fresh train() relaunch must reproduce the uninterrupted run's
+    remaining losses BITWISE (loader.set_epoch keeps the shuffle order a
+    function of the global epoch; augment=False + num_workers=1 makes
+    the pipeline deterministic; CPU XLA is bitwise-reproducible)."""
+    import signal
+
+    import multi_view_stereonet_tpu.train.train_cli as tc
+
+    E_TOTAL, E_PREEMPT = 7, 2  # SIGTERM at the end of epoch 2
+
+    data_dir, split = make_gta_sfm_tree(str(tmp_path), num_sequences=2,
+                                        frames=10, rows=96, cols=128,
+                                        seed=7, scene="layered_track")
+    lines = [l for l in open(split) if l.strip()]
+    train_split = str(tmp_path / "train_gta_sfm.txt")
+    val_split = str(tmp_path / "val_gta_sfm.txt")
+    open(train_split, "w").writelines(lines[: int(len(lines) * 0.8)])
+    open(val_split, "w").writelines(lines[int(len(lines) * 0.8):])
+
+    cfg = load_params_yaml(None)
+    cfg.update({
+        "size": [96, 128], "batch_size": 4, "num_epochs": E_TOTAL,
+        "augment": False, "supervision_factor": 1.0,
+        "reconstruction_factor": 0.0, "left_right_factor": 0.0,
+        "learning_rate": 1e-3, "num_workers": 1,
+        "debug_image_freq": 0, "plot_freq": 0, "print_freq": 1,
+    })
+
+    # Run A: uninterrupted 7 epochs.
+    out_a = str(tmp_path / "run_a")
+    train(dict(cfg), data_dir, train_split, val_split, out_a)
+
+    losses_a = open(os.path.join(out_a, "losses.txt")).read()
+    val_rows = [l.split() for l in open(os.path.join(out_a, "validation.txt"))
+                if l.strip()]
+    header, rows = val_rows[0], val_rows[1:]
+    assert len(rows) == E_TOTAL
+
+    def col(row, name):
+        return float(row[header.index(name)])
+
+    # Convergence: loss falls, EPE improves vs epoch 0, refiners alive.
+    loss_lines = [l.split() for l in losses_a.splitlines()[1:]]
+    first_loss = float(loss_lines[0][3])
+    last_epoch_losses = [float(l[3]) for l in loss_lines
+                         if int(l[0]) == E_TOTAL - 1]
+    assert np.mean(last_epoch_losses) < 0.45 * first_loss, (
+        f"training loss did not fall: {first_loss} -> {last_epoch_losses}")
+    assert col(rows[-1], "epe") < 0.75 * col(rows[0], "epe"), (
+        f"validation EPE did not improve: {rows[0]} -> {rows[-1]}")
+    assert col(rows[-1], "refined_zero_frac") < 0.1, (
+        "refiners died (dead output ReLU): "
+        f"refined_zero_frac={col(rows[-1], 'refined_zero_frac')}")
+
+    # Run B: SIGTERM after the last batch of epoch E_PREEMPT, relaunch.
+    out_b = str(tmp_path / "run_b")
+    real_loader = tc.BatchLoader
+
+    class SignalingLoader(real_loader):
+        """Delivers a real SIGTERM once the train loader (shuffle=True;
+        the val loader is shuffle=False) exhausts its E_PREEMPT epoch --
+        all of that epoch's steps have run, so the preemption lands on
+        an epoch boundary and no training data is skipped."""
+
+        def __iter__(self):
+            fire = self.shuffle and self._epoch == E_PREEMPT
+            yield from super().__iter__()
+            if fire:
+                os.kill(os.getpid(), signal.SIGTERM)
+
+    with pytest.MonkeyPatch.context() as mp:
+        mp.setattr(tc, "BatchLoader", SignalingLoader)
+        train(dict(cfg), data_dir, train_split, val_split, out_b)
+    ckpts = glob.glob(os.path.join(out_b, "checkpoints", "epoch*"))
+    assert len(ckpts) == E_PREEMPT + 1, f"preempted run wrote {ckpts}"
+
+    train(dict(cfg), data_dir, train_split, val_split, out_b)
+
+    losses_b = open(os.path.join(out_b, "losses.txt")).read()
+    assert losses_b == losses_a, (
+        "resumed run diverged from the uninterrupted trajectory")
+    # Validation after resume matches too (the preempted epoch itself
+    # skips validation by design, so compare the post-resume rows).
+    val_b = {l.split()[0]: l for l in
+             open(os.path.join(out_b, "validation.txt")) if l.strip()}
+    val_a = {l.split()[0]: l for l in
+             open(os.path.join(out_a, "validation.txt")) if l.strip()}
+    for epoch in range(E_PREEMPT + 1, E_TOTAL):
+        assert val_b[str(epoch)] == val_a[str(epoch)]
+
+
+@pytest.mark.slow
 def test_train_cli_demon_dataset_path(tmp_path):
     """The DeMoN dataset branch of make_dataset drives the same loop:
     the reference's demon_45epochs recipe ran on this layout (scenes +
