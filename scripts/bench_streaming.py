@@ -1,0 +1,190 @@
+#!/usr/bin/env python
+"""Sustained end-to-end serving measurement: disk -> decode -> TPU
+forward -> host readback, via eval.streaming.StreamingRunner.
+
+Closes the gap between the two previously-disjoint numbers (device-loop
+throughput from bench.py and per-core decode rates from
+scripts/bench_loader.py): this drives the REAL serving path over a
+synthetic 480x640 GTA-style tree large enough to amortize warm-up, and
+reports sustained depthmaps/sec plus a decomposition that says which
+resource bounds it (host decode cores, device compute, or device->host
+readback). Reference analog: the timed eval loop of
+/root/reference/test.py:188-281.
+
+This host has ONE CPU core and reads the device back over the axon
+relay, so the e2e number here is environment-bound; the decomposition
+(per-frame decode ms/core, fetch MB/frame vs link rate, device ms/frame)
+is what transfers to a production host. Usage:
+
+  python scripts/bench_streaming.py [--batch 24] [--workers 1 2 4]
+      [--repeat 12] [--frames 24] [--fetch f16|f32]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+
+import numpy as np
+
+
+def build_tree(rows, cols, frames, cache_dir="/tmp/stream_bench_tree"):
+    """Synthetic GTA tree at the serving shape; cached across runs (the
+    480x640 render costs ~0.5 s/frame on this 1-core host)."""
+    from synthetic_data import make_gta_sfm_tree
+
+    tag = os.path.join(cache_dir, f"{rows}x{cols}x{frames}")
+    split = os.path.join(tag, "gta_sfm_synth_test.txt")
+    data_dir = os.path.join(tag, "data")
+    if not os.path.exists(split):
+        os.makedirs(tag, exist_ok=True)
+        make_gta_sfm_tree(tag, rows=rows, cols=cols, frames=frames,
+                          num_sequences=2, scene="plane")
+    return data_dir, split
+
+
+def replicate_split(split, copies, total_multiple, workdir):
+    """Repeat the split lines so the run is long enough to measure a
+    sustained rate, padded to a multiple of the batch size (a ragged
+    tail would trigger a second jit compile mid-measurement)."""
+    lines = [l for l in open(split) if l.strip()]
+    out = lines * copies
+    while len(out) % total_multiple:
+        out.append(lines[len(out) % len(lines)])
+    path = os.path.join(workdir, "replicated_split.txt")
+    with open(path, "w") as f:
+        f.writelines(out)
+    return path, len(out)
+
+
+def measure_loader(dataset, batch, workers, warm=2):
+    """Host-side ceiling: decode+collate rate with no device in the loop."""
+    from multi_view_stereonet_tpu.data import BatchLoader
+
+    loader = BatchLoader(dataset, batch, shuffle=False, drop_last=True,
+                         workers=workers)
+    n = t0 = 0
+    for i, b in enumerate(loader):
+        if i + 1 == warm:
+            t0 = time.perf_counter()
+            n = 0
+        n += b["left_image"].shape[0]
+    dt = time.perf_counter() - t0
+    return n / dt
+
+
+def measure_e2e(runner, dataset, batch, workers, warm_batches=3):
+    """Sustained disk->idepthmaps rate through StreamingRunner. Timing
+    starts after ``warm_batches`` yields (compile + pipeline fill)."""
+    n = t0 = 0
+    got = 0
+    for idepths, names in runner.run(dataset, batch_size=batch,
+                                     workers=workers):
+        got += 1
+        if got == warm_batches:
+            t0 = time.perf_counter()
+            n = 0
+        n += len(names)
+    dt = time.perf_counter() - t0
+    return n / dt
+
+
+def measure_fetch_rate(nbytes=32 << 20):
+    """Device->host readback rate of the link (the axon relay here)."""
+    import jax
+    import jax.numpy as jnp
+
+    x = jax.device_put(jnp.zeros(nbytes // 4, jnp.float32))
+    jax.block_until_ready(x)
+    np.asarray(x)  # warm the path
+    t0 = time.perf_counter()
+    np.asarray(x)
+    dt = time.perf_counter() - t0
+    return nbytes / dt / 1e6  # MB/s
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=24)
+    ap.add_argument("--workers", type=int, nargs="+", default=[1, 2, 4])
+    ap.add_argument("--repeat", type=int, default=12,
+                    help="split replication factor (run length)")
+    ap.add_argument("--frames", type=int, default=24)
+    ap.add_argument("--fetch", choices=["f16", "f32"], default="f16")
+    ap.add_argument("--bf16", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from multi_view_stereonet_tpu.checkpoint.native import load_any_params
+    from multi_view_stereonet_tpu.data import (
+        GTASfMMultiViewDataset, get_testing_transforms,
+    )
+    from multi_view_stereonet_tpu.eval.streaming import StreamingRunner
+    from multi_view_stereonet_tpu.models import (
+        MultiViewStereoNetConfig, init_mvsnet,
+    )
+
+    rows, cols = 480, 640
+    data_dir, split = build_tree(rows, cols, args.frames)
+    workdir = os.path.dirname(split)
+    split_rep, n_samples = replicate_split(split, args.repeat, args.batch,
+                                           workdir)
+
+    pretrained = ("/root/reference/pretrained/gta_sfm_150epochs/"
+                  "checkpoints/epoch0149")
+    params = (load_any_params(pretrained) if os.path.exists(pretrained)
+              else init_mvsnet(jax.random.PRNGKey(0)))
+
+    config = MultiViewStereoNetConfig(
+        compute_dtype="bfloat16" if args.bf16 else "float32")
+    runner = StreamingRunner(
+        params, config,
+        fetch_dtype="float16" if args.fetch == "f16" else None)
+
+    tf = get_testing_transforms({"size": [rows, cols]})
+
+    def make_ds(backend="auto"):
+        return GTASfMMultiViewDataset(data_dir, split_rep, 0, tf,
+                                      shuffle=False, decode_backend=backend)
+
+    fetch_mbs = measure_fetch_rate()
+    frame_mb = rows * cols * (2 if args.fetch == "f16" else 4) / 1e6
+    print(f"device->host link: {fetch_mbs:.0f} MB/s "
+          f"({frame_mb:.2f} MB/frame fetched -> "
+          f"{fetch_mbs / frame_mb:.0f} dm/s fetch ceiling)", flush=True)
+
+    results = {"n_samples": n_samples, "batch": args.batch,
+               "fetch_dtype": args.fetch, "fetch_link_MBps": round(fetch_mbs),
+               "fetch_ceiling_dmps": round(fetch_mbs / frame_mb, 1)}
+    for w in args.workers:
+        loader_rate = measure_loader(make_ds(), args.batch, w)
+        print(f"workers={w}: loader-only {loader_rate:.1f} samples/s",
+              flush=True)
+        e2e = measure_e2e(runner, make_ds(), args.batch, w)
+        print(f"workers={w}: e2e sustained {e2e:.1f} depthmaps/s", flush=True)
+        results[f"loader_w{w}"] = round(loader_rate, 1)
+        results[f"e2e_w{w}"] = round(e2e, 1)
+
+    best_w = max(args.workers, key=lambda w: results[f"e2e_w{w}"])
+    e2e = results[f"e2e_w{best_w}"]
+    loader = results[f"loader_w{best_w}"]
+    device_rate = 369.0  # bench.py batch24_throughput, device-loop
+    fetch_ceiling = results["fetch_ceiling_dmps"]
+    bound = min(("host", loader), ("device", device_rate),
+                ("fetch", fetch_ceiling), key=lambda kv: kv[1])[0]
+    results.update(sustained_dmps=e2e, best_workers=best_w, bound_by=bound,
+                   device_loop_dmps=device_rate)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

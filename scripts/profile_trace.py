@@ -149,6 +149,8 @@ def self_times(events):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--views", type=int, default=1,
+                    help="comparison views V (5 = the 5cmp test config)")
     ap.add_argument("--dtype", default="float32")
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--iters", type=int, default=6)
@@ -172,7 +174,8 @@ def main():
 
     params = init_mvsnet(jax.random.PRNGKey(0))
     batch = jax.tree.map(jnp.asarray,
-                         _example_batch(B=args.batch, V=1, H=480, W=640))
+                         _example_batch(B=args.batch, V=args.views,
+                                        H=480, W=640))
     config = MultiViewStereoNetConfig(compute_dtype=args.dtype)
 
     if args.train:

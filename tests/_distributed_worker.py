@@ -55,6 +55,49 @@ def main():
         print(f"RESULT {float(total):.6f}", flush=True)
         return
 
+    if mode == "flagship":
+        # VERDICT r3 #6: the multi-host (DCN-analog) path at the MULTICHIP
+        # shape class -- 120x160, D=12, V=2 over a (data=4, view=2) global
+        # mesh spanning 2 processes x 4 virtual devices. GSPMD's
+        # partitioning decisions are shape-dependent (the round-1
+        # involuntary-remat bug only appeared at real shapes), so the toy
+        # 32x32/D4 "train" mode below is not evidence for this regime.
+        # Computes loss + grads of the real loss_fn and dumps the grads
+        # (pid 0) for the parent to compare against its single-device run.
+        from __graft_entry__ import _example_batch
+        from multi_view_stereonet_tpu.models import (
+            MultiViewStereoNetConfig, init_mvsnet,
+        )
+        from multi_view_stereonet_tpu.losses import LossConfig
+        from multi_view_stereonet_tpu.train.step import make_loss_fn
+
+        grads_out = sys.argv[6]
+        H, W, D, B, V = 120, 160, 12, 4, 2
+        mesh = make_global_mesh(view=V)
+        assert mesh.shape["data"] * mesh.shape["view"] == nproc * ndev
+
+        per = B // nproc
+        gbatch = _example_batch(B=B, V=V, H=H, W=W)
+        local = {k: v[pid * per:(pid + 1) * per] for k, v in gbatch.items()}
+
+        params = init_mvsnet(jax.random.PRNGKey(0))
+        loss_fn = make_loss_fn(
+            MultiViewStereoNetConfig(num_idepth_samples=D,
+                                     fold_extractor_batch=False),
+            LossConfig())
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        params = jax.device_put(params, replicated(mesh))
+        with mesh:
+            jbatch = global_batch(mesh, local)
+            (loss, _), grads = jax.jit(grad_fn)(params, jbatch)
+            jax.block_until_ready(loss)
+        if pid == 0:
+            flat = np.concatenate([np.asarray(g, np.float64).ravel()
+                                   for g in jax.tree.leaves(grads)])
+            np.save(grads_out, flat)
+        print(f"RESULT {float(loss):.6f}", flush=True)
+        return
+
     assert mode == "train"
     from __graft_entry__ import _example_batch
     from multi_view_stereonet_tpu.models import (

@@ -32,7 +32,7 @@ def _free_port():
         return s.getsockname()[1]
 
 
-def _run_workers(mode, nproc=2, ndev=2, timeout=900):
+def _run_workers(mode, nproc=2, ndev=2, timeout=900, extra_args=()):
     port = _free_port()
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
@@ -40,7 +40,7 @@ def _run_workers(mode, nproc=2, ndev=2, timeout=900):
     procs = [
         subprocess.Popen(
             [sys.executable, WORKER, mode, str(pid), str(nproc),
-             str(port), str(ndev)],
+             str(port), str(ndev), *map(str, extra_args)],
             cwd=REPO, env=env, stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT, text=True)
         for pid in range(nproc)
@@ -160,3 +160,54 @@ def test_two_process_train_step_matches_single_process():
     results = _run_workers("train", nproc=2, ndev=2)
     assert results[0] == results[1], results  # replicated state in sync
     np.testing.assert_allclose(results[0], ref_loss, rtol=1e-4)
+
+
+@pytest.mark.slow
+def test_flagship_aspect_multihost_grads_match_single_device(tmp_path):
+    """The MULTICHIP shape class over the multi-host path: 120x160, D=12,
+    V=2 on a (data=4, view=2) global mesh spanning 2 processes x 4
+    virtual devices. The DCN path's GSPMD decisions are as
+    shape-dependent as the ICI path's (dryrun_multichip docstring), so
+    the toy 32x32/D4 run above is not evidence for this regime. Asserts
+    loss AND gradient equality against the plain single-device graph,
+    with the NORM-level tolerances of __graft_entry__.dryrun_multichip
+    (shard-layout ULP noise flips LeakyReLU branches at the
+    GroupNorm-centered zero; ~5e-4 global from one flip, a real sharding
+    bug is ~1e-1)."""
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _example_batch
+    from multi_view_stereonet_tpu.models import (
+        MultiViewStereoNetConfig, init_mvsnet,
+    )
+    from multi_view_stereonet_tpu.losses import LossConfig
+    from multi_view_stereonet_tpu.train.step import make_loss_fn
+
+    H, W, D, B, V = 120, 160, 12, 4, 2
+    grads_file = str(tmp_path / "flagship_grads.npy")
+    results = _run_workers("flagship", nproc=2, ndev=4, timeout=1800,
+                           extra_args=(grads_file,))
+    assert results[0] == results[1], results  # replicated loss in sync
+
+    params = init_mvsnet(jax.random.PRNGKey(0))
+    loss_fn = make_loss_fn(
+        MultiViewStereoNetConfig(num_idepth_samples=D,
+                                 fold_extractor_batch=False), LossConfig())
+    batch = {k: jnp.asarray(v)
+             for k, v in _example_batch(B=B, V=V, H=H, W=W).items()}
+    (loss1, _), grads1 = jax.jit(
+        jax.value_and_grad(loss_fn, has_aux=True))(params, batch)
+    np.testing.assert_allclose(results[0], float(loss1), rtol=1e-5)
+
+    flat1 = np.concatenate([np.asarray(g, np.float64).ravel()
+                            for g in jax.tree.leaves(grads1)])
+    flat2 = np.load(grads_file)
+    assert flat1.shape == flat2.shape
+    global_rel = float(np.linalg.norm(flat1 - flat2)
+                       / np.linalg.norm(flat1))
+    assert global_rel < 2e-2, (
+        f"multi-host grads deviate from single-device: global norm-rel "
+        f"{global_rel:.3e}")
+    print(f"MULTIHOST mesh=(4x2) over 2 procs x 4 devs, "
+          f"shape={H}x{W}xD{D}, B={B}, V={V}, loss={float(loss1):.4f}, "
+          f"grad_global_norm_rel={global_rel:.2e}")
