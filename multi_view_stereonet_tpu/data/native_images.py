@@ -90,8 +90,10 @@ def apply_jitter_pil(img: Image.Image, spec: dict) -> Image.Image:
     return img
 
 
-def decode_refs(refs):
-    """Decode a list of refs -> float32 [0, 1] HWC arrays.
+def decode_refs(refs, u8=False):
+    """Decode a list of refs -> float32 [0, 1] HWC arrays (or raw uint8
+    pixels with ``u8=True`` -- the serving u8-transport path, which
+    normalizes on-device instead).
 
     One native call per (target size, jitter spec) group -- all views of
     a training sample share one spec, so this stays one pooled call per
@@ -109,11 +111,20 @@ def decode_refs(refs):
             rows, cols = h, w
         groups.setdefault((rows, cols, id(r.jitter)), []).append(i)
 
+    fallback_dtype = np.uint8 if u8 else np.float32
     for (rows, cols, _), idxs in groups.items():
         spec = refs[idxs[0]].jitter
         paths = [refs[i].path for i in idxs]
         if spec is None:
-            arrs, ok = native.load_images(paths, rows, cols)
+            if u8:
+                arrs, ok = native.load_images_u8(paths, rows, cols)
+            else:
+                arrs, ok = native.load_images(paths, rows, cols)
+        elif u8:
+            # Jitter is a training-only transform; the u8 transport path
+            # is test/serving-time, so this branch is cold -- go through
+            # PIL rather than grow the C ABI.
+            arrs, ok = None, [False] * len(idxs)
         else:
             arrs, ok = native.load_images_jitter(
                 paths, rows, cols, spec["order"], spec["brightness"],
@@ -122,8 +133,8 @@ def decode_refs(refs):
             if ok[j]:
                 out[i] = arrs[j]
             else:
-                out[i] = np.asarray(refs[i].to_pil(),
-                                    dtype=np.float32) / 255.0
+                arr = np.asarray(refs[i].to_pil(), dtype=fallback_dtype)
+                out[i] = arr if u8 else arr / 255.0
     return out
 
 

@@ -224,6 +224,28 @@ class ToArray:
         return sample
 
 
+class ToArrayU8:
+    """PIL -> raw uint8 HWC numpy; terminal step of the u8-transport
+    serving pipeline (replaces ToArray+Normalize; the device replicates
+    both bit-exactly, eval/streaming.dequantize_images_u8). 4x fewer
+    host->device bytes and zero host-side float work per image."""
+
+    def __call__(self, sample):
+        from .native_images import decode_refs, has_refs
+
+        if has_refs(sample):
+            arrs = decode_refs([sample["left_image"]]
+                               + list(sample["right_images"]), u8=True)
+            sample["left_image"] = arrs[0]
+            sample["right_images"] = arrs[1:]
+            return sample
+        sample["left_image"] = np.asarray(sample["left_image"], dtype=np.uint8)
+        sample["right_images"] = [
+            np.asarray(im, dtype=np.uint8) for im in sample["right_images"]
+        ]
+        return sample
+
+
 class Normalize:
     """Map [0, 1] images to [-1, 1] (mean=std=0.5, :100-106)."""
 
@@ -351,8 +373,13 @@ def get_training_transforms(params: dict, rng=None, fix_normalization=False):
 
 
 def get_testing_transforms(params: dict, roll_right_image180=False,
-                           add_trans_noise=False, add_rot_noise=False, rng=None):
-    """Test pipeline with optional robustness perturbations (:70-98)."""
+                           add_trans_noise=False, add_rot_noise=False,
+                           rng=None, u8_output=False):
+    """Test pipeline with optional robustness perturbations (:70-98).
+
+    ``u8_output`` ends the pipeline at raw uint8 pixels instead of
+    normalized float32 -- the serving u8-transport mode
+    (eval/streaming --transfer_u8), which normalizes on-device."""
     rows, cols = params["size"]
     rng = ThreadLocalRng(rng)
     steps = []
@@ -362,5 +389,6 @@ def get_testing_transforms(params: dict, roll_right_image180=False,
         steps.append(TranslationNoise(rng=rng))
     elif add_rot_noise:
         steps.append(RotationNoise(rng=rng))
-    steps += [ResizeWithIntrinsics(rows, cols), ToArray(), Normalize()]
+    steps.append(ResizeWithIntrinsics(rows, cols))
+    steps += [ToArrayU8()] if u8_output else [ToArray(), Normalize()]
     return Compose(steps)

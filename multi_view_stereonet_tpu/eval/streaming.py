@@ -34,21 +34,81 @@ from ..parallel import make_mesh, shard_batch, replicated
 from ..train.pipeline import multi_view_unpack_batch
 
 
+def quantize_images_u8(x: np.ndarray) -> np.ndarray:
+    """Invert Normalize∘ToArray: [-1, 1] float32 image -> the uint8 it
+    came from. Exact for every producible value: the pipeline emits only
+    the 256 values fl(fl(u/255)*2-1), consecutive ones ~1e6 f32 ulps
+    apart, so truncating the affine inverse u + 0.5 + O(ulp) recovers u
+    bit-exactly (property-tested over all 256 in
+    tests/test_streaming.py).
+
+    FALLBACK path only, for datasets built with f32 transforms: it
+    still burns host cycles re-walking the batch (~2.6 s per 480x640
+    b24 batch measured on this 1-core host). The fast path is to build
+    the dataset with ``get_testing_transforms(..., u8_output=True)`` so
+    pixels stay uint8 straight from the decoder and this function never
+    runs -- StreamingRunner skips it for batches that are already u8."""
+    tmp = x * np.float32(127.5)
+    tmp += np.float32(128.0)
+    return tmp.astype(np.uint8)
+
+
+def dequantize_images_u8(u):
+    """Device-side replica of ToArray+Normalize (transforms.py:203-233):
+    uint8 -> f32/255 -> *2-1, bit-exact with the host pipeline on every
+    backend.
+
+    A literal ``u/255.0`` is NOT used: XLA folds division-by-constant
+    into multiply-by-reciprocal (CPU) and TPU f32 division is
+    reciprocal-based -- both are 1 ulp off the correctly-rounded
+    quotient for ~200 of the 256 values. Instead the quotient is built
+    with exact integer ops: ``255 * 16843009 == 2**32 - 1``, so
+    u/255 == (u*16843009) * 2**-32 * (1 + 2**-32 + ...). Converting
+    m = u*16843009 to f32 rounds at the 24-bit boundary without the
+    positive (1 + 2**-32...) tail, which flips exact-tie cases to
+    even instead of up; OR-ing the low bit (m is 25 bits for u >= 1)
+    breaks those ties upward and is absorbed everywhere else. The
+    1-ulp residue this leaves in the [0,1] stage cancels in the
+    ``*2 - 1`` rounding: the final normalized value is bit-identical
+    to the host's for all 256 inputs, property-tested per backend in
+    tests/test_streaming.py and verified on the real TPU."""
+    m = u.astype(jnp.uint32) * jnp.uint32(16843009)
+    m = m | (m != 0).astype(jnp.uint32)
+    v = m.astype(jnp.float32) * jnp.float32(2.0 ** -32)
+    return v * jnp.float32(2.0) - jnp.float32(1.0)
+
+
 class StreamingRunner:
     def __init__(self, params, model_config: MultiViewStereoNetConfig,
-                 mesh=None, fetch_dtype=None):
+                 mesh=None, fetch_dtype=None, transfer_u8=False):
         """``fetch_dtype`` (e.g. "float16") casts idepthmaps on-device
-        before the device->host transfer -- halves fetch bytes, which
-        dominates serving latency on hosts with slow readback (the axon
-        relay reads back at ~50 MB/s; idepth dynamic range makes f16
-        loss negligible)."""
+        before the device->host transfer -- halves fetch bytes.
+        ``transfer_u8`` ships input images as uint8 and normalizes
+        on-device -- 4x fewer host->device bytes (177 -> 44 MB per
+        480x640 b24 batch), which is what bounds serving throughput on
+        hosts with a slow device link (the axon relay here moves ~40
+        MB/s each way; on a PCIe host it is still 4x less H2D traffic).
+        Pair it with a dataset built via
+        ``get_testing_transforms(..., u8_output=True)`` so pixels stay
+        uint8 straight from the decoder (zero extra host work); batches
+        that arrive f32 are quantized on the host as a fallback
+        (quantize_images_u8 -- exact, but it costs host time). Outputs
+        are bit-identical to the f32 path on CPU and TPU: the on-device
+        dequantize replicates ToArray+Normalize's rounding exactly
+        (tests/test_streaming.py, docs/ROOFLINE.md
+        "Serving end-to-end")."""
         self.mesh = mesh if mesh is not None else make_mesh(view=1)
         self.params = jax.device_put(params, replicated(self.mesh))
         self.model_config = model_config
         self.fetch_dtype = jnp.dtype(fetch_dtype) if fetch_dtype else None
+        self.transfer_u8 = bool(transfer_u8)
 
         @functools.partial(jax.jit, static_argnames=("config", "fetch_dtype"))
         def forward(params, batch, config, fetch_dtype=None):
+            batch = dict(batch)
+            for key in ("left_image", "right_images"):
+                if batch[key].dtype == jnp.uint8:
+                    batch[key] = dequantize_images_u8(batch[key])
             inputs = multi_view_unpack_batch(batch)
             out = mvsnet_forward(
                 params, inputs["left_image_pyr"], inputs["K_pyr"],
@@ -81,6 +141,10 @@ class StreamingRunner:
                 batch.pop("right_filenames", None)
                 batch.pop("left_depthmap_true", None)
                 batch.pop("right_depthmap_true", None)
+                if self.transfer_u8:
+                    for key in ("left_image", "right_images"):
+                        if batch[key].dtype != np.uint8:
+                            batch[key] = quantize_images_u8(batch[key])
                 actual = batch["left_image"].shape[0]
                 if actual % n_data == 0 and n_data > 1:
                     jbatch = shard_batch(self.mesh, batch)
@@ -112,6 +176,10 @@ def main():
     parser.add_argument("--fetch_f16", action="store_true",
                         help="cast idepthmaps to float16 on-device before "
                              "readback (halves device->host bytes)")
+    parser.add_argument("--transfer_u8", action="store_true",
+                        help="ship input images as uint8 and normalize "
+                             "on-device (4x fewer host->device bytes; "
+                             "outputs unchanged)")
     parser.add_argument("--workers", type=int, default=4,
                         help="parallel sample-decode threads")
     parser.add_argument("--params_yaml", default=None)
@@ -132,7 +200,10 @@ def main():
     params_file = args.params_yaml or os.path.join(
         args.weights_dir, "..", "..", "params.yaml")
     cfg = load_params_yaml(params_file)
-    transforms = get_testing_transforms(cfg)
+    # With u8 transport the dataset itself emits raw uint8 pixels (the
+    # decoder's natural output) and the device normalizes -- no host
+    # float conversion at all.
+    transforms = get_testing_transforms(cfg, u8_output=args.transfer_u8)
     # Same substring dispatch as eval.test_cli.load_data: an
     # unrecognized split must error, not silently parse as DeMoN and
     # serve 0 depthmaps.
@@ -161,7 +232,8 @@ def main():
         compute_dtype="bfloat16" if args.bf16 else "float32",
     )
     runner = StreamingRunner(load_any_params(args.weights_dir), model_config,
-                             fetch_dtype="float16" if args.fetch_f16 else None)
+                             fetch_dtype="float16" if args.fetch_f16 else None,
+                             transfer_u8=args.transfer_u8)
 
     t0 = time.perf_counter()
     count = 0

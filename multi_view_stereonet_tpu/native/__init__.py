@@ -63,7 +63,7 @@ def _load():
         except OSError:
             return None
         lib.mvs_native_version.restype = ctypes.c_int
-        if lib.mvs_native_version() != 2:
+        if lib.mvs_native_version() != 3:
             # Stale binary from an older source (mtime check can miss
             # e.g. a git checkout restoring an old timestamp): rebuild.
             try:
@@ -72,7 +72,7 @@ def _load():
                 lib = ctypes.CDLL(_LIB)
             except OSError:
                 return None
-            if lib.mvs_native_version() != 2:
+            if lib.mvs_native_version() != 3:
                 return None
         lib.mvs_jpeg_dims.argtypes = [
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_int),
@@ -91,6 +91,11 @@ def _load():
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int),
             ctypes.c_int]
         lib.mvs_load_images_jitter.restype = None
+        lib.mvs_load_images_u8.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_ubyte),
+            ctypes.POINTER(ctypes.c_int), ctypes.c_int]
+        lib.mvs_load_images_u8.restype = None
         if not _parity_check(lib):
             return None
         _lib = lib
@@ -134,6 +139,14 @@ def _parity_check(lib) -> bool:
                     pil = pil.resize((cols, rows), Image.BILINEAR)
                 ref = np.asarray(pil, np.float32) / 255.0
                 if not np.array_equal(out[0], ref):
+                    return False
+                u8 = np.empty((1, rows, cols, 3), np.uint8)
+                lib.mvs_load_images_u8(
+                    ap, 1, rows, cols,
+                    u8.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+                    status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), 1)
+                if status[0] != 0 or not np.array_equal(
+                        u8[0], np.asarray(pil, np.uint8)):
                     return False
             # Jitter path: ``available`` also gates the C++ training
             # augmentation (decode_backend=auto is the train default),
@@ -210,6 +223,29 @@ def load_images(paths, rows: int, cols: int, mean: float = 0.0,
     lib.mvs_load_images(
         arr, n, rows, cols, ctypes.c_float(mean), ctypes.c_float(std),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), threads)
+    return out, status == 0
+
+
+def load_images_u8(paths, rows: int, cols: int, threads: int = 0):
+    """Decode + Pillow-parity bilinear resize, raw uint8 pixels.
+
+    Returns (images (n, rows, cols, 3) uint8, ok (n,) bool). Same pixels
+    ToArray would divide by 255 -- the serving u8-transport path ships
+    these to the device and normalizes there (bit-exact,
+    eval/streaming.dequantize_images_u8)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native image loader unavailable")
+    n = len(paths)
+    out = np.empty((n, rows, cols, 3), np.uint8)
+    status = np.empty((n,), np.int32)
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    if threads <= 0:
+        threads = min(n, os.cpu_count() or 1)
+    lib.mvs_load_images_u8(
+        arr, n, rows, cols,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
         status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), threads)
     return out, status == 0
 

@@ -93,18 +93,40 @@ def measure_e2e(runner, dataset, batch, workers, warm_batches=3):
     return n / dt
 
 
-def measure_fetch_rate(nbytes=32 << 20):
-    """Device->host readback rate of the link (the axon relay here)."""
+def account(results, batch, rows, cols, fetch_bytes, u8):
+    """Per-batch budget (seconds) from the independent measurements:
+    where a sustained batch's time goes at these link rates."""
+    in_bytes = rows * cols * 3 * 2 * (1 if u8 else 4)  # left+right
+    h2d = batch * in_bytes / (results["h2d_MBps"] * 1e6)
+    d2h = batch * rows * cols * fetch_bytes / (results["d2h_MBps"] * 1e6)
+    dev = batch / results["device_loop_dmps"]
+    return {"h2d_s": round(h2d, 3), "device_s": round(dev, 3),
+            "d2h_s": round(d2h, 3)}
+
+
+def measure_link_rates(nbytes=32 << 20):
+    """Host->device and device->host transfer rates of the link (the
+    axon relay here; PCIe on a production host). D2H uses a FRESH
+    device buffer per round -- re-fetching the same array returns
+    jax's cached host copy and reads as an impossible 300 GB/s."""
     import jax
     import jax.numpy as jnp
 
-    x = jax.device_put(jnp.zeros(nbytes // 4, jnp.float32))
+    host = np.random.rand(nbytes // 4).astype(np.float32)
+    x = jax.device_put(host)
     jax.block_until_ready(x)
-    np.asarray(x)  # warm the path
-    t0 = time.perf_counter()
-    np.asarray(x)
-    dt = time.perf_counter() - t0
-    return nbytes / dt / 1e6  # MB/s
+    h2d, d2h = [], []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        x = jax.device_put(host)
+        jax.block_until_ready(x)
+        h2d.append(time.perf_counter() - t0)
+        y = x + 1.0
+        jax.block_until_ready(y)
+        t0 = time.perf_counter()
+        np.asarray(y)
+        d2h.append(time.perf_counter() - t0)
+    return nbytes / min(h2d) / 1e6, nbytes / min(d2h) / 1e6  # MB/s
 
 
 def main():
@@ -150,39 +172,55 @@ def main():
         params, config,
         fetch_dtype="float16" if args.fetch == "f16" else None)
 
-    tf = get_testing_transforms({"size": [rows, cols]})
-
-    def make_ds(backend="auto"):
+    def make_ds(backend="auto", u8=False):
+        # u8=True: pixels stay uint8 straight from the decoder and the
+        # device normalizes (the recommended serving transport -- 4x
+        # fewer H2D bytes, zero host float work, outputs bit-identical).
+        tf = get_testing_transforms({"size": [rows, cols]}, u8_output=u8)
         return GTASfMMultiViewDataset(data_dir, split_rep, 0, tf,
                                       shuffle=False, decode_backend=backend)
 
-    fetch_mbs = measure_fetch_rate()
-    frame_mb = rows * cols * (2 if args.fetch == "f16" else 4) / 1e6
-    print(f"device->host link: {fetch_mbs:.0f} MB/s "
-          f"({frame_mb:.2f} MB/frame fetched -> "
-          f"{fetch_mbs / frame_mb:.0f} dm/s fetch ceiling)", flush=True)
+    h2d_mbs, d2h_mbs = measure_link_rates()
+    fetch_bytes = 2 if args.fetch == "f16" else 4
+    frame_mb = rows * cols * fetch_bytes / 1e6
+    print(f"link: H2D {h2d_mbs:.0f} MB/s, D2H {d2h_mbs:.0f} MB/s "
+          f"({frame_mb:.2f} MB/frame fetched)", flush=True)
 
     results = {"n_samples": n_samples, "batch": args.batch,
-               "fetch_dtype": args.fetch, "fetch_link_MBps": round(fetch_mbs),
-               "fetch_ceiling_dmps": round(fetch_mbs / frame_mb, 1)}
+               "fetch_dtype": args.fetch,
+               "h2d_MBps": round(h2d_mbs), "d2h_MBps": round(d2h_mbs),
+               "device_loop_dmps": 369.4}  # bench.py batch24, 2026-08-19
+
     for w in args.workers:
-        loader_rate = measure_loader(make_ds(), args.batch, w)
+        # Loader ceiling measured on the u8 pipeline (the serving
+        # transport): decode + Pillow-parity resize, no float pass.
+        loader_rate = measure_loader(make_ds(u8=True), args.batch, w)
         print(f"workers={w}: loader-only {loader_rate:.1f} samples/s",
               flush=True)
-        e2e = measure_e2e(runner, make_ds(), args.batch, w)
-        print(f"workers={w}: e2e sustained {e2e:.1f} depthmaps/s", flush=True)
         results[f"loader_w{w}"] = round(loader_rate, 1)
-        results[f"e2e_w{w}"] = round(e2e, 1)
+        for u8 in (False, True):
+            runner.transfer_u8 = u8
+            tag = "u8" if u8 else "f32"
+            e2e = measure_e2e(runner, make_ds(u8=u8), args.batch, w)
+            print(f"workers={w} transfer={tag}: e2e sustained "
+                  f"{e2e:.1f} depthmaps/s", flush=True)
+            results[f"e2e_w{w}_{tag}"] = round(e2e, 1)
 
-    best_w = max(args.workers, key=lambda w: results[f"e2e_w{w}"])
-    e2e = results[f"e2e_w{best_w}"]
+    best_w, best_u8 = max(
+        ((w, u8) for w in args.workers for u8 in ("f32", "u8")),
+        key=lambda k: results[f"e2e_w{k[0]}_{k[1]}"])
+    e2e = results[f"e2e_w{best_w}_{best_u8}"]
     loader = results[f"loader_w{best_w}"]
-    device_rate = 369.0  # bench.py batch24_throughput, device-loop
-    fetch_ceiling = results["fetch_ceiling_dmps"]
-    bound = min(("host", loader), ("device", device_rate),
-                ("fetch", fetch_ceiling), key=lambda kv: kv[1])[0]
-    results.update(sustained_dmps=e2e, best_workers=best_w, bound_by=bound,
-                   device_loop_dmps=device_rate)
+    budget = account(results, args.batch, rows, cols, fetch_bytes,
+                     best_u8 == "u8")
+    # Which leg of the pipeline bounds the sustained rate at the
+    # measured link/loader/device rates (legs overlap; max dominates).
+    legs = {"h2d": budget["h2d_s"], "device": budget["device_s"],
+            "d2h": budget["d2h_s"], "host_decode": args.batch / loader}
+    bound = max(legs, key=legs.get)
+    results.update(sustained_dmps=e2e, best_workers=best_w,
+                   best_transfer=best_u8, bound_by=bound,
+                   batch_budget_s=legs)
     print(json.dumps(results))
 
 

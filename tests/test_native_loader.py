@@ -226,3 +226,50 @@ def test_hsv_roundtrip_model_spot_check():
         want = np.asarray(Image.fromarray(hsv, "HSV").convert("RGB"),
                           np.float32) / 255.0
         np.testing.assert_array_equal(got[0], want)
+
+
+@needs_native
+def test_load_images_u8_matches_pil_pixels(tmp_path):
+    """The u8 output mode (serving transport path) must emit exactly the
+    uint8 pixels the f32 mode divides by 255 -- i.e. PIL's post-resize
+    pixels -- including the failed-decode status contract."""
+    paths = _save_jpegs(str(tmp_path), [(640, 480), (333, 217)])
+    out, ok = native.load_images_u8(paths, 120, 160)
+    assert ok.all() and out.dtype == np.uint8
+    for i, p in enumerate(paths):
+        pil = Image.open(p).convert("RGB").resize((160, 120), Image.BILINEAR)
+        np.testing.assert_array_equal(out[i], np.asarray(pil, np.uint8))
+    f32, _ = native.load_images(paths, 120, 160)
+    np.testing.assert_array_equal(f32, out.astype(np.float32) / 255.0)
+
+    bad = str(tmp_path / "missing.jpg")
+    out, ok = native.load_images_u8(paths + [bad], 120, 160)
+    assert list(ok) == [True, True, False]
+
+
+@needs_native
+def test_testing_transforms_u8_output(tmp_path):
+    """get_testing_transforms(u8_output=True) ends the pipeline at raw
+    uint8 pixels that dequantize to the f32 pipeline's tensors exactly,
+    on both decode backends."""
+    data_dir, split = make_gta_sfm_tree(str(tmp_path), rows=40, cols=56,
+                                        frames=2, num_sequences=1)
+    outs = {}
+    for backend in ("native", "pil"):
+        f32_ds = GTASfMMultiViewDataset(
+            data_dir, split, transform=T.get_testing_transforms(
+                {"size": [32, 48]}), shuffle=False, decode_backend=backend)
+        u8_ds = GTASfMMultiViewDataset(
+            data_dir, split, transform=T.get_testing_transforms(
+                {"size": [32, 48]}, u8_output=True), shuffle=False,
+            decode_backend=backend)
+        a, b = f32_ds[0], u8_ds[0]
+        assert b["left_image"].dtype == np.uint8
+        np.testing.assert_array_equal(
+            b["left_image"].astype(np.float32) / 255.0 * 2.0 - 1.0,
+            a["left_image"])
+        for ra, rb in zip(a["right_images"], b["right_images"]):
+            np.testing.assert_array_equal(
+                rb.astype(np.float32) / 255.0 * 2.0 - 1.0, ra)
+        outs[backend] = b["left_image"]
+    np.testing.assert_array_equal(outs["native"], outs["pil"])
