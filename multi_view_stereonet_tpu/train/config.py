@@ -18,8 +18,17 @@ DEFAULTS = {
     "num_idepth_samples": 12,
     "cost_volume_filter": True,
     "refiners": [True, True, True, True, True],
+    # 8 matches the reference recipe (params.yaml:14, per-GPU batch).
+    # Measured sweet spot on one v5e is 16 (139.3 img/s vs 127.6 at b8;
+    # b32 fits but gains nothing) -- docs/ROOFLINE.md "Training
+    # batch/remat/storage sweep".
     "batch_size": 8,
     "batches_per_step": 1,
+    # Off: costs 17-19% img/s at every batch that fits, and with bf16
+    # activation storage even b32 fits without it (same sweep). Turn on
+    # only when activation pressure rises (bigger sizes, V>1 training,
+    # f32 storage -- b32+f32 is the measured corner that needs it).
+    "remat_refiners": False,
     "num_epochs": 150,
     "num_train_images": 0,
     "num_val_images": 0,

@@ -87,6 +87,33 @@ def main():
     timed("train step (B=8, 150-epoch recipe)",
           lambda: train_loop(params, opt_state, batch)[2], 8, 30)
 
+    # ---- deployment artifact (jax.export): export on this host, load in
+    # a fresh process, compare against the live jitted serving fn.
+    # Delegates to scripts/bench_export.py (VERDICT r3 #7); skippable for
+    # quick runs with --no-export since the fresh process pays one
+    # compile (cached after the first run).
+    if "--no-export" not in sys.argv:
+        import subprocess
+        proc = subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(__file__), "bench_export.py")],
+            capture_output=True, text=True, timeout=1800)
+        rows = [l for l in proc.stdout.splitlines()
+                if l.startswith("EXPORT_BENCH ")]
+        if rows:
+            import json
+            r = json.loads(rows[0][len("EXPORT_BENCH "):])
+            print(f"{'export artifact (fresh proc) vs live serving fn':54s} "
+                  f"{r['ms_per_frame']:8.2f} ms "
+                  f"(live {r['live_ms_per_frame']:.2f}, "
+                  f"{r['export_vs_live_pct']:+.1f}%, "
+                  f"max|diff| {r['max_abs_diff_vs_live']:g})", flush=True)
+        else:
+            print("export row FAILED: " +
+                  (proc.stderr.strip().splitlines()[-1][:200]
+                   if proc.stderr.strip() else f"rc={proc.returncode}"),
+                  flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -52,29 +52,43 @@ def main():
                     choices=("plane", "layered", "layered_track"))
     ap.add_argument("--tpu", action="store_true",
                     help="train on the TPU (already consumed at import)")
+    ap.add_argument("--size", type=int, nargs=2, default=(96, 128),
+                    metavar=("ROWS", "COLS"))
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--sequences", type=int, default=2)
+    ap.add_argument("--frames", type=int, default=10)
+    ap.add_argument("--augment", action="store_true",
+                    help="recipe color jitter (native backend when built)")
+    ap.add_argument("--tag", default=None,
+                    help="artifact suffix (default: the scene name); use "
+                         "e.g. fullres to keep a second run of the same "
+                         "scene from overwriting the first")
     ns = ap.parse_args()
     scene = ns.scene
-    work = ns.workdir if ns.workdir else f"/tmp/convergence_run_{scene}"
+    tag = ns.tag if ns.tag else ("" if scene == "plane" else scene)
+    work = ns.workdir if ns.workdir else f"/tmp/convergence_run_{tag or scene}"
     os.makedirs(work, exist_ok=True)
     data_dir, split = make_gta_sfm_tree(
-        work, num_sequences=2, frames=10, rows=96, cols=128, seed=7,
-        scene=scene)
+        work, num_sequences=ns.sequences, frames=ns.frames,
+        rows=ns.size[0], cols=ns.size[1], seed=7, scene=scene)
 
     # Hold out ~20% of split lines for validation.
     lines = [l for l in open(split) if l.strip()]
+    n_train = int(len(lines) * 0.8)
+    n_val = len(lines) - n_train
     train_split = os.path.join(work, "train_gta_sfm.txt")
     val_split = os.path.join(work, "val_gta_sfm.txt")
     with open(train_split, "w") as f:
-        f.writelines(lines[: int(len(lines) * 0.8)])
+        f.writelines(lines[:n_train])
     with open(val_split, "w") as f:
-        f.writelines(lines[int(len(lines) * 0.8):])
+        f.writelines(lines[n_train:])
 
     cfg = load_params_yaml(None)
     cfg.update({
-        "size": [96, 128],
-        "batch_size": 4,
+        "size": list(ns.size),
+        "batch_size": ns.batch,
         "num_epochs": EPOCHS_TOTAL,
-        "augment": False,
+        "augment": ns.augment,
         "supervision_factor": 1.0,
         "reconstruction_factor": 0.0,
         "left_right_factor": 0.0,
@@ -96,7 +110,7 @@ def main():
     repo = os.path.join(os.path.dirname(__file__), "..")
     dest = os.path.join(repo, "docs", "convergence")
     os.makedirs(dest, exist_ok=True)
-    suffix = "" if scene == "plane" else f"_{scene}"
+    suffix = f"_{tag}" if tag else ""
     for name in ("losses.txt", "validation.txt"):
         srcp = os.path.join(out, name)
         if os.path.exists(srcp):
@@ -119,14 +133,15 @@ def main():
     epes = [float(r[epe_col]) for r in rows]
     print(f"validation EPE: epoch {epochs[0]}: {epes[0]:.3f} -> "
           f"epoch {epochs[-1]}: {epes[-1]:.3f}", flush=True)
-    summary_name = ("SUMMARY.md" if scene == "plane"
-                    else f"SUMMARY_{scene}.md")
+    summary_name = f"SUMMARY{suffix}.md" if suffix else "SUMMARY.md"
     with open(os.path.join(dest, summary_name), "w") as f:
         f.write(
             f"# Synthetic-scene convergence run ({scene})\n\n"
             "Full supervised recipe (train.train_cli) on the synthetic\n"
-            f"GTA-SfM {scene} scenes (96x128, 2 sequences x 10 frames, 14\n"
-            f"train / 4 val samples), {EPOCHS_TOTAL} epochs with a resume\n"
+            f"GTA-SfM {scene} scenes ({ns.size[0]}x{ns.size[1]}, "
+            f"{ns.sequences} sequences x {ns.frames} frames, {n_train}\n"
+            f"train / {n_val} val samples, batch {ns.batch}, "
+            f"augment={ns.augment}), {EPOCHS_TOTAL} epochs with a resume\n"
             f"at epoch {EPOCHS_FIRST} (checkpoint -> fresh process path).\n"
             "The reference's 150-epoch GTA recipe cannot run here (no\n"
             "dataset egress); this demonstrates the training loop\n"
