@@ -481,7 +481,15 @@ def main():
                         help="host:port of process 0 for multi-host runs")
     parser.add_argument("--num_processes", type=int, default=None)
     parser.add_argument("--process_id", type=int, default=None)
+    parser.add_argument("--platform", default="default",
+                        choices=("default", "cpu"),
+                        help="'cpu' forces the CPU backend (the hosted-TPU "
+                             "plugin overrides the JAX_PLATFORMS env var, so "
+                             "subprocess launchers need a real flag)")
     args = parser.parse_args()
+
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
 
     # Must precede any JAX backend use in this process.
     distributed_initialize(args.coordinator, args.num_processes,
