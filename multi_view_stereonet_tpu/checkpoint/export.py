@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 
 
-def make_serving_fn(params, config):
+def make_serving_fn(params, config, input_u8=False, fetch_dtype=None):
     """Metric-idepth inference: (left, rights, K, T) -> idepth (B, H, W).
 
     Inputs follow the eval batch contract (train/pipeline.py
@@ -39,12 +39,26 @@ def make_serving_fn(params, config):
     T_right_in_left (B,V,4,4) metric poses. The unit-baseline
     normalization and its inverse are applied inside, so the output is
     metric inverse depth (reference: test.py:208-212).
+
+    ``input_u8``: accept RAW uint8 images (the decoder's natural output)
+    and bake the bit-exact on-device dequantize
+    (eval/streaming.dequantize_images_u8) into the artifact -- the
+    production serving transport (4x fewer H2D bytes; README "Serving
+    transport flags"). ``fetch_dtype`` (e.g. "float16") casts the output
+    on-device before readback (2x fewer D2H bytes). With both set this
+    is exactly the contract StreamingRunner._forward serves live.
     """
     from ..models import mvsnet_forward
     from ..train.pipeline import multi_view_unpack_batch
     from ..geometry.transforms import baseline_norm
+    from ..eval.streaming import dequantize_images_u8
+
+    out_dtype = jnp.dtype(fetch_dtype) if fetch_dtype else None
 
     def serve(left_image, right_images, K, T_right_in_left):
+        if input_u8:
+            left_image = dequantize_images_u8(left_image)
+            right_images = dequantize_images_u8(right_images)
         batch = {
             "left_image": left_image,
             "right_images": right_images,
@@ -57,29 +71,35 @@ def make_serving_fn(params, config):
             inputs["T_right_in_left"], inputs["right_image_pyr"], config)
         idepth = out["left_idepthmap_pyr"][0]
         baseline = baseline_norm(T_right_in_left[:, 0])
-        return idepth / baseline[:, None, None]
+        idepth = idepth / baseline[:, None, None]
+        if out_dtype is not None:
+            idepth = idepth.astype(out_dtype)
+        return idepth
 
     return serve
 
 
 def export_inference(params, config, batch_size=1, views=1,
-                     size=(480, 640)):
+                     size=(480, 640), input_u8=False, fetch_dtype=None):
     """Lower + export the serving function for the CURRENT backend.
 
     Returns a ``jax.export.Exported``; serialize with ``.serialize()``.
     Shapes are static (one artifact per serving config, as with the
-    reference's TorchScript traces).
+    reference's TorchScript traces). ``input_u8``/``fetch_dtype`` select
+    the production serving contract (see make_serving_fn).
     """
     from jax import export as jexport
 
     H, W = size
+    img_dtype = jnp.uint8 if input_u8 else jnp.float32
     specs = (
-        jax.ShapeDtypeStruct((batch_size, H, W, 3), jnp.float32),
-        jax.ShapeDtypeStruct((batch_size, views, H, W, 3), jnp.float32),
+        jax.ShapeDtypeStruct((batch_size, H, W, 3), img_dtype),
+        jax.ShapeDtypeStruct((batch_size, views, H, W, 3), img_dtype),
         jax.ShapeDtypeStruct((batch_size, 4, 4), jnp.float32),
         jax.ShapeDtypeStruct((batch_size, views, 4, 4), jnp.float32),
     )
-    serve = jax.jit(make_serving_fn(params, config))
+    serve = jax.jit(make_serving_fn(params, config, input_u8=input_u8,
+                                    fetch_dtype=fetch_dtype))
     return jexport.export(serve)(*specs)
 
 
@@ -105,6 +125,11 @@ def main(argv=None):
     ap.add_argument("--views", type=int, default=1)
     ap.add_argument("--dtype", default="float32",
                     help="compute dtype (float32 | bfloat16)")
+    ap.add_argument("--u8", action="store_true",
+                    help="production transport: uint8 image inputs with "
+                         "the on-device dequantize baked in")
+    ap.add_argument("--fetch", default=None,
+                    help="output dtype cast baked in (e.g. float16)")
     args = ap.parse_args(argv)
 
     from ..models import MultiViewStereoNetConfig
@@ -113,7 +138,8 @@ def main(argv=None):
     params = load_any_params(args.weights_dir)
     config = MultiViewStereoNetConfig(compute_dtype=args.dtype)
     exported = export_inference(params, config, batch_size=args.batch,
-                                views=args.views, size=tuple(args.size))
+                                views=args.views, size=tuple(args.size),
+                                input_u8=args.u8, fetch_dtype=args.fetch)
     save_exported(exported, args.out_path)
     nbytes = len(exported.serialize())
     print(f"exported {exported.fun_name} for platforms="

@@ -94,12 +94,16 @@ def main():
     # compile (cached after the first run).
     if "--no-export" not in sys.argv:
         import subprocess
-        proc = subprocess.run(
-            [sys.executable,
-             os.path.join(os.path.dirname(__file__), "bench_export.py")],
-            capture_output=True, text=True, timeout=1800)
-        rows = [l for l in proc.stdout.splitlines()
-                if l.startswith("EXPORT_BENCH ")]
+        try:
+            proc = subprocess.run(
+                [sys.executable,
+                 os.path.join(os.path.dirname(__file__), "bench_export.py")],
+                capture_output=True, text=True, timeout=1800)
+            rows = [l for l in proc.stdout.splitlines()
+                    if l.startswith("EXPORT_BENCH ")]
+        except subprocess.TimeoutExpired:
+            # A relay hang should cost the export row, not the whole bench.
+            proc, rows = None, []
         if rows:
             import json
             r = json.loads(rows[0][len("EXPORT_BENCH "):])
@@ -108,11 +112,21 @@ def main():
                   f"(live {r['live_ms_per_frame']:.2f}, "
                   f"{r['export_vs_live_pct']:+.1f}%, "
                   f"max|diff| {r['max_abs_diff_vs_live']:g})", flush=True)
+            u8_rows = [l for l in proc.stdout.splitlines()
+                       if l.startswith("EXPORT_BENCH_U8 ")]
+            if u8_rows:
+                r = json.loads(u8_rows[0][len("EXPORT_BENCH_U8 "):])
+                print(f"{'export b24/u8/f16 contract vs live streaming':54s} "
+                      f"{r['ms_per_frame']:8.2f} ms/img "
+                      f"(live {r['live_ms_per_frame']:.2f}, "
+                      f"{r['export_vs_live_pct']:+.1f}%, "
+                      f"bit_identical={r.get('bit_identical_vs_live')})",
+                      flush=True)
         else:
-            print("export row FAILED: " +
-                  (proc.stderr.strip().splitlines()[-1][:200]
-                   if proc.stderr.strip() else f"rc={proc.returncode}"),
-                  flush=True)
+            reason = ("timeout after 1800 s" if proc is None else
+                      (proc.stderr.strip().splitlines()[-1][:200]
+                       if proc.stderr.strip() else f"rc={proc.returncode}"))
+            print("export row FAILED: " + reason, flush=True)
 
 
 if __name__ == "__main__":

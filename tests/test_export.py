@@ -71,3 +71,36 @@ def test_export_cli(tmp_path):
     reloaded = load_exported(out)
     res = reloaded.call(*_inputs(V=1))
     assert res.shape == (1, 32, 48)
+
+
+def test_export_u8_serving_contract_matches_streaming_runner(tmp_path):
+    """Production serving contract (VERDICT r4 #4): u8 image inputs with
+    the on-device dequantize baked in + f16 fetch must serve EXACTLY
+    what the live StreamingRunner u8/f16 device path serves."""
+    from multi_view_stereonet_tpu.eval.streaming import StreamingRunner
+
+    params = init_mvsnet(jax.random.PRNGKey(0))
+    config = MultiViewStereoNetConfig(num_idepth_samples=4)
+    B, V, H, W = 2, 1, 32, 48
+    rng = np.random.default_rng(3)
+    _, _, K, T = _inputs(B=B, V=V, H=H, W=W)
+    left = rng.integers(0, 256, (B, H, W, 3), dtype=np.uint8)
+    rights = rng.integers(0, 256, (B, V, H, W, 3), dtype=np.uint8)
+
+    runner = StreamingRunner(params, config, fetch_dtype="float16",
+                             transfer_u8=True)
+    live = np.asarray(runner._forward(
+        runner.params,
+        {"left_image": jnp.asarray(left), "right_images": jnp.asarray(rights),
+         "K": K, "T_right_in_left": T},
+        config, jnp.dtype("float16")))
+    assert live.dtype == np.float16
+
+    exported = export_inference(params, config, batch_size=B, views=V,
+                                size=(H, W), input_u8=True,
+                                fetch_dtype="float16")
+    path = str(tmp_path / "serving.jaxexport")
+    save_exported(exported, path)
+    out = np.asarray(load_exported(path).call(left, rights, K, T))
+    assert out.dtype == np.float16
+    np.testing.assert_array_equal(out.view(np.uint8), live.view(np.uint8))
