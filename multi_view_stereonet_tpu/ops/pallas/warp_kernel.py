@@ -243,7 +243,7 @@ def _pallas_resample(image, ix, iy, ybase, xbase, xoff, exact="highest",
             pl.BlockSpec((1, TILE_R, TILE_C),
                          lambda b, ty, tx, yb_, xb_, xo_: (b, ty, tx),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # image stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # image stays in HBM
         ],
         out_specs=(
             pl.BlockSpec((1, C, TILE_R, TILE_C),

@@ -23,6 +23,7 @@ Usage: python scripts/bench_train_sweep.py [--batches 8 16 32]
 import argparse
 import json
 import os
+import re
 import subprocess
 import sys
 import time
@@ -95,7 +96,8 @@ def run_one(B, remat, storage):
         # hit exactly this: 16.06G of 15.75G hbm).
         msg = str(e).lower()
         if "resource_exhausted" in msg or "out of memory" in msg \
-                or "exceeds the limit" in msg or "oom" in msg:
+                or "exceeds the limit" in msg \
+                or re.search(r"\boom\b", msg) is not None:
             print("POINT " + json.dumps({"oom": True}), flush=True)
         else:
             raise
@@ -128,9 +130,11 @@ def main():
                             capture_output=True, text=True,
                             timeout=args.timeout)
                     except subprocess.TimeoutExpired:
-                        print(f"{key:28s} HANG (attempt {attempt + 1}), "
-                              "waiting for chip recovery", flush=True)
-                        time.sleep(60.0)
+                        print(f"{key:28s} HANG (attempt {attempt + 1})",
+                              flush=True)
+                        if attempt < 1:  # only sleep if a retry follows
+                            print("waiting for chip recovery", flush=True)
+                            time.sleep(60.0)
                         continue
                     lines = [l for l in proc.stdout.splitlines()
                              if l.startswith("POINT ")]

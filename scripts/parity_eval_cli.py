@@ -187,6 +187,11 @@ def main():
         ours_run(*args.ours_run)
         return
 
+    # Abspath up front: ref_run os.chdir()s into run_dir before the
+    # reference test.py resolves its weights/data/split arguments, so a
+    # relative --work would make the reference side resolve against the
+    # wrong cwd (ADVICE r4).
+    args.work = os.path.abspath(args.work)
     if os.path.exists(args.work) and not args.keep:
         shutil.rmtree(args.work)
     os.makedirs(args.work, exist_ok=True)
