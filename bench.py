@@ -222,16 +222,54 @@ def main():
                 "bound_by": max(legs, key=legs.get),
                 "link_h2d_MBps": round(h2d_mbs, 1),
                 "link_d2h_MBps": round(d2h_mbs, 1),
-                "host_decode_rate": round(decode_rate, 1),
+                # Decode rate of the u8 serving pipeline (native decode,
+                # pixels stay uint8, normalize on-device). The f32
+                # eval-path pipeline decodes slower (~94 samples/s/core,
+                # docs/ROOFLINE.md "Production decomposition") and is NOT
+                # what this block measures.
+                "host_decode_rate_u8": round(decode_rate, 1),
                 # What the same pipeline does once the link is PCIe-class
                 # (legs then: device vs host decode only).
                 "production_bound_by": ("host_decode"
                                         if legs["host_decode"]
                                         > legs["device"] else "device"),
-                "decode_cores_to_feed_device": round(
+                "decode_cores_to_feed_device_u8": round(
                     fps_b24 / decode_rate, 1),
             }
         }
+
+        # The relay tunnel's speed varies by session (10-50 MB/s), and
+        # sustained_dmps tracks the same-run link probe ~linearly
+        # (docs/ROOFLINE.md "tunnel attribution"), so a single-session
+        # sample can land on a slow tunnel. Keep an append-only history
+        # of (sustained, probe) samples and report the best observed --
+        # the figure where the tunnel binds LEAST -- next to today's.
+        hist_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "bench_history", "streaming.jsonl")
+        try:
+            history = [json.loads(l) for l in open(hist_path)
+                       if l.strip()] if os.path.exists(hist_path) else []
+            entry = {
+                "date": time.strftime("%Y-%m-%d"),
+                "sustained_dmps": round(sustained, 1),
+                "link_h2d_MBps": round(h2d_mbs, 1),
+                "link_d2h_MBps": round(d2h_mbs, 1),
+                "transfer": "u8", "fetch": "f16", "batch": B,
+                "source": "bench.py",
+            }
+            history.append(entry)
+            os.makedirs(os.path.dirname(hist_path), exist_ok=True)
+            with open(hist_path, "a") as f:
+                f.write(json.dumps(entry) + "\n")
+            best = max(history, key=lambda h: h["sustained_dmps"])
+            streaming["streaming_e2e"]["best_observed"] = {
+                "sustained_dmps": best["sustained_dmps"],
+                "link_h2d_MBps": best["link_h2d_MBps"],
+                "date": best["date"],
+                "sessions": len(history),
+            }
+        except Exception as e:  # pragma: no cover - history is optional
+            streaming["streaming_e2e"]["history_error"] = str(e)[:120]
     except Exception as e:  # pragma: no cover - streaming row is optional
         streaming = {"streaming_error": str(e)[:200]}
 
@@ -279,6 +317,34 @@ def main():
     except Exception as e:  # pragma: no cover - accuracy row is optional
         accuracy = {"accuracy_error": str(e)[:200]}
 
+    # Integrated training pipeline at recipe shape (the training analog
+    # of streaming_e2e): the REAL train CLI -- BatchLoader feed (native
+    # decode + augment, 4 workers) -> jitted step -> per-epoch validate
+    # -> checkpoint -- on a cached synthetic 480x640 tree, reported as
+    # sustained img/s with a bound-by decomposition
+    # (scripts/bench_train_e2e.py; docs/ROOFLINE.md "Training
+    # end-to-end"). Optional -- never fails the bench.
+    training = {}
+    try:
+        import subprocess
+        import sys as _sys2
+
+        repo = os.path.dirname(os.path.abspath(__file__))
+        proc = subprocess.run(
+            [_sys2.executable,
+             os.path.join(repo, "scripts", "bench_train_e2e.py"),
+             "--batch", "8", "--epochs", "4"],
+            capture_output=True, text=True, timeout=2400)
+        lines = [l for l in proc.stdout.splitlines()
+                 if l.startswith("TRAIN_E2E ")]
+        if proc.returncode == 0 and lines:
+            training = {"training_e2e": json.loads(lines[0][10:])}
+        else:
+            tail = (proc.stderr.strip().splitlines() or ["?"])[-1][:160]
+            training = {"training_error": f"rc={proc.returncode}: {tail}"}
+    except Exception as e:  # pragma: no cover - training row is optional
+        training = {"training_error": str(e)[:200]}
+
     result = {
         "metric": "depthmaps/sec single v5e chip (480x640, 12 hyps, batch 1)",
         "value": round(fps_b1, 1),
@@ -297,6 +363,7 @@ def main():
         "weights": "pretrained" if os.path.exists(PRETRAINED) else "random",
         **streaming,
         **accuracy,
+        **training,
     }
     print(json.dumps(result))
 
