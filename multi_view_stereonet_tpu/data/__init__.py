@@ -18,6 +18,7 @@ from .transforms import (
     RotationNoise,
     get_training_transforms,
     get_testing_transforms,
+    training_u8_dequantize_mode,
 )
 from .gta_sfm import GTASfMMultiViewDataset, GTASfMStereoDataset, create_mvs_split
 from .demon import DeMoNDataset, DeMoNStereoDataset
@@ -29,6 +30,7 @@ __all__ = [
     "RandomHorizontalFlipStereo", "Normalize",
     "RollRight180", "TranslationNoise", "RotationNoise",
     "get_training_transforms", "get_testing_transforms",
+    "training_u8_dequantize_mode",
     "GTASfMMultiViewDataset", "GTASfMStereoDataset", "create_mvs_split",
     "DeMoNDataset", "DeMoNStereoDataset",
     "BatchLoader",

@@ -121,10 +121,13 @@ def decode_refs(refs, u8=False):
             else:
                 arrs, ok = native.load_images(paths, rows, cols)
         elif u8:
-            # Jitter is a training-only transform; the u8 transport path
-            # is test/serving-time, so this branch is cold -- go through
-            # PIL rather than grow the C ABI.
-            arrs, ok = None, [False] * len(idxs)
+            # Training u8 transport: the jitter chain is u8 end-to-end,
+            # so the native loader emits its natural intermediate and
+            # the device applies the bit-exact x/255
+            # (ops/quantize.dequantize_images_u8_unit).
+            arrs, ok = native.load_images_jitter_u8(
+                paths, rows, cols, spec["order"], spec["brightness"],
+                spec["contrast"], spec["saturation"], spec["hue_shift"])
         else:
             arrs, ok = native.load_images_jitter(
                 paths, rows, cols, spec["order"], spec["brightness"],

@@ -359,17 +359,40 @@ class RotationNoise:
         return sample
 
 
-def get_training_transforms(params: dict, rng=None, fix_normalization=False):
+def get_training_transforms(params: dict, rng=None, fix_normalization=False,
+                            u8_output=False):
     """Train pipeline (reference :56-68). With augment=True the reference
-    omits Normalize -- reproduced unless ``fix_normalization``."""
+    omits Normalize -- reproduced unless ``fix_normalization``.
+
+    ``u8_output`` ends the pipeline at raw uint8 pixels (the jitter
+    chain's natural domain) instead of float32 -- the training
+    u8-transport mode (train_cli ``transfer_u8``): 4x fewer image bytes
+    host->device, with the omitted float stage(s) replicated bit-exactly
+    inside the jitted train step (ops/quantize: the bare x/255 when this
+    pipeline omits Normalize, x/255*2-1 otherwise --
+    ``training_u8_dequantize_mode`` returns which)."""
     rows, cols = params["size"]
     rng = ThreadLocalRng(rng)
     if params.get("augment", False):
-        steps = [ResizeWithIntrinsics(rows, cols), RandomColorJitter(rng), ToArray()]
+        steps = [ResizeWithIntrinsics(rows, cols), RandomColorJitter(rng)]
+        if u8_output:
+            return Compose(steps + [ToArrayU8()])
+        steps.append(ToArray())
         if fix_normalization:
             steps.append(Normalize())
         return Compose(steps)
+    if u8_output:
+        return Compose([ResizeWithIntrinsics(rows, cols), ToArrayU8()])
     return Compose([ResizeWithIntrinsics(rows, cols), ToArray(), Normalize()])
+
+
+def training_u8_dequantize_mode(params: dict, fix_normalization=False) -> str:
+    """Which device-side dequantize replicates the float stage(s) the
+    u8 training pipeline omitted: "unit" (bare x/255 -- the augmented
+    recipe, which skips Normalize) or "full" (x/255*2-1)."""
+    if params.get("augment", False) and not fix_normalization:
+        return "unit"
+    return "full"
 
 
 def get_testing_transforms(params: dict, roll_right_image180=False,

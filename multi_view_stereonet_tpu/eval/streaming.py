@@ -34,48 +34,12 @@ from ..parallel import make_mesh, shard_batch, replicated
 from ..train.pipeline import multi_view_unpack_batch
 
 
-def quantize_images_u8(x: np.ndarray) -> np.ndarray:
-    """Invert Normalize∘ToArray: [-1, 1] float32 image -> the uint8 it
-    came from. Exact for every producible value: the pipeline emits only
-    the 256 values fl(fl(u/255)*2-1), consecutive ones ~1e6 f32 ulps
-    apart, so truncating the affine inverse u + 0.5 + O(ulp) recovers u
-    bit-exactly (property-tested over all 256 in
-    tests/test_streaming.py).
-
-    FALLBACK path only, for datasets built with f32 transforms: it
-    still burns host cycles re-walking the batch (~2.6 s per 480x640
-    b24 batch measured on this 1-core host). The fast path is to build
-    the dataset with ``get_testing_transforms(..., u8_output=True)`` so
-    pixels stay uint8 straight from the decoder and this function never
-    runs -- StreamingRunner skips it for batches that are already u8."""
-    tmp = x * np.float32(127.5)
-    tmp += np.float32(128.0)
-    return tmp.astype(np.uint8)
-
-
-def dequantize_images_u8(u):
-    """Device-side replica of ToArray+Normalize (transforms.py:203-233):
-    uint8 -> f32/255 -> *2-1, bit-exact with the host pipeline on every
-    backend.
-
-    A literal ``u/255.0`` is NOT used: XLA folds division-by-constant
-    into multiply-by-reciprocal (CPU) and TPU f32 division is
-    reciprocal-based -- both are 1 ulp off the correctly-rounded
-    quotient for ~200 of the 256 values. Instead the quotient is built
-    with exact integer ops: ``255 * 16843009 == 2**32 - 1``, so
-    u/255 == (u*16843009) * 2**-32 * (1 + 2**-32 + ...). Converting
-    m = u*16843009 to f32 rounds at the 24-bit boundary without the
-    positive (1 + 2**-32...) tail, which flips exact-tie cases to
-    even instead of up; OR-ing the low bit (m is 25 bits for u >= 1)
-    breaks those ties upward and is absorbed everywhere else. The
-    1-ulp residue this leaves in the [0,1] stage cancels in the
-    ``*2 - 1`` rounding: the final normalized value is bit-identical
-    to the host's for all 256 inputs, property-tested per backend in
-    tests/test_streaming.py and verified on the real TPU."""
-    m = u.astype(jnp.uint32) * jnp.uint32(16843009)
-    m = m | (m != 0).astype(jnp.uint32)
-    v = m.astype(jnp.float32) * jnp.float32(2.0 ** -32)
-    return v * jnp.float32(2.0) - jnp.float32(1.0)
+# De/quantization numerics live in ops.quantize (shared with the
+# training u8 transport and the export serving contract); re-exported
+# here for the serving surface and existing callers/tests.
+from ..ops.quantize import (  # noqa: F401
+    dequantize_images_u8, quantize_images_u8,
+)
 
 
 class StreamingRunner:

@@ -63,7 +63,7 @@ def _load():
         except OSError:
             return None
         lib.mvs_native_version.restype = ctypes.c_int
-        if lib.mvs_native_version() != 3:
+        if lib.mvs_native_version() != 4:
             # Stale binary from an older source (mtime check can miss
             # e.g. a git checkout restoring an old timestamp): rebuild.
             try:
@@ -72,7 +72,7 @@ def _load():
                 lib = ctypes.CDLL(_LIB)
             except OSError:
                 return None
-            if lib.mvs_native_version() != 3:
+            if lib.mvs_native_version() != 4:
                 return None
         lib.mvs_jpeg_dims.argtypes = [
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_int),
@@ -91,6 +91,13 @@ def _load():
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int),
             ctypes.c_int]
         lib.mvs_load_images_jitter.restype = None
+        lib.mvs_load_images_jitter_u8.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+            ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_ubyte), ctypes.POINTER(ctypes.c_int),
+            ctypes.c_int]
+        lib.mvs_load_images_jitter_u8.restype = None
         lib.mvs_load_images_u8.argtypes = [
             ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.POINTER(ctypes.c_ubyte),
@@ -174,9 +181,24 @@ def _parity_check(lib) -> bool:
                 return False
             pil = Image.open(path).convert("RGB").resize(
                 (32, 24), Image.BILINEAR)
-            ref = np.asarray(apply_jitter_pil(pil, spec),
-                             np.float32) / 255.0
+            jit_ref = apply_jitter_pil(pil, spec)
+            ref = np.asarray(jit_ref, np.float32) / 255.0
             if not np.array_equal(out[0], ref):
+                return False
+            # Jitter u8 output mode (training u8 transport): the same
+            # chain minus the float convert must emit the exact bytes
+            # the f32 path divides by 255.
+            u8j = np.empty((1, 24, 32, 3), np.uint8)
+            lib.mvs_load_images_jitter_u8(
+                ap, 1, 24, 32, order_arr, 4,
+                ctypes.c_float(spec["brightness"]),
+                ctypes.c_float(spec["contrast"]),
+                ctypes.c_float(spec["saturation"]),
+                ctypes.c_int(spec["hue_shift"]),
+                u8j.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+                status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), 1)
+            if status[0] != 0 or not np.array_equal(
+                    u8j[0], np.asarray(jit_ref, np.uint8)):
                 return False
         finally:
             os.unlink(path)
@@ -276,5 +298,35 @@ def load_images_jitter(paths, rows: int, cols: int, order, brightness: float,
         ctypes.c_float(brightness), ctypes.c_float(contrast),
         ctypes.c_float(saturation), ctypes.c_int(int(hue_shift)),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), threads)
+    return out, status == 0
+
+
+def load_images_jitter_u8(paths, rows: int, cols: int, order,
+                          brightness: float, contrast: float,
+                          saturation: float, hue_shift: int,
+                          threads: int = 0):
+    """Decode + resize + Pillow-bit-exact color jitter, RAW uint8 pixels.
+
+    Same chain as ``load_images_jitter`` minus the final x/255 -- the
+    training u8-transport path (train_cli ``transfer_u8``) ships these
+    bytes to the device and applies the bit-exact x/255 there
+    (ops/quantize.dequantize_images_u8_unit). Returns (images (n, rows,
+    cols, 3) uint8, ok (n,) bool)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native image loader unavailable")
+    n = len(paths)
+    out = np.empty((n, rows, cols, 3), np.uint8)
+    status = np.empty((n,), np.int32)
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    order_arr = (ctypes.c_int * len(order))(*[int(o) for o in order])
+    if threads <= 0:
+        threads = min(n, os.cpu_count() or 1)
+    lib.mvs_load_images_jitter_u8(
+        arr, n, rows, cols, order_arr, len(order),
+        ctypes.c_float(brightness), ctypes.c_float(contrast),
+        ctypes.c_float(saturation), ctypes.c_int(int(hue_shift)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
         status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), threads)
     return out, status == 0

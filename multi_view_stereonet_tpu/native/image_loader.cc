@@ -382,7 +382,7 @@ void RunPool(int n, int n_threads, Fn work_item) {
 extern "C" {
 
 // Probe symbol for the ctypes wrapper.
-int mvs_native_version() { return 3; }
+int mvs_native_version() { return 4; }
 
 // JPEG header dims without a full decode. Returns 0 on success.
 int mvs_jpeg_dims(const char* path, int* w, int* h) {
@@ -488,6 +488,34 @@ void mvs_load_images_jitter(const char** paths, int n, int rows, int cols,
     for (size_t j = 0; j < count; ++j) {
       dst[j] = px[j] / 255.0f;
     }
+    status[i] = 0;
+  });
+}
+
+// Jitter variant EMITTING RAW uint8 pixels (the chain is u8 end-to-end
+// until the float conversion, so this is its natural intermediate).
+// The training u8 transport (train_cli ``transfer_u8``) ships these
+// bytes host->device and replicates the augmented pipeline's bare
+// x/255 on-device (ops/quantize.dequantize_images_u8_unit, bit-exact)
+// -- 4x fewer image transfer bytes per training batch and zero host
+// float work, same win mvs_load_images_u8 gives serving.
+void mvs_load_images_jitter_u8(const char** paths, int n, int rows,
+                               int cols, const int* order, int n_ops,
+                               float brightness, float contrast,
+                               float saturation, int hue_shift,
+                               unsigned char* out, int* status,
+                               int n_threads) {
+  RunPool(n, n_threads, [&](int i, std::vector<unsigned char>* rgb,
+                            std::vector<unsigned char>* resized) {
+    unsigned char* px;
+    if (!DecodeAndResize(paths[i], rows, cols, rgb, resized, &px)) {
+      status[i] = 1;
+      return;
+    }
+    ApplyJitter(px, rows, cols, order, n_ops, brightness, contrast,
+                saturation, hue_shift);
+    std::memcpy(out + static_cast<size_t>(i) * rows * cols * 3, px,
+                static_cast<size_t>(rows) * cols * 3);
     status[i] = 0;
   });
 }

@@ -55,6 +55,14 @@ DEFAULTS = {
     "print_freq": 1,
     "debug_image_freq": 50,
     "plot_freq": 500,
+    # uint8 image transport for the training feed: pixels stay raw u8
+    # through the host pipeline (native decode+jitter emit u8 natively)
+    # and the omitted float stage(s) are replicated BIT-EXACTLY inside
+    # the jitted train step (ops/quantize) -- 4x fewer image bytes
+    # host->device and zero host float work per image, numerics
+    # identical to the f32 feed. Off by default to match the reference
+    # recipe's torch DataLoader semantics exactly.
+    "transfer_u8": False,
     "previous_checkpoint_dir": "",
     "split": "gta_sfm",
 }

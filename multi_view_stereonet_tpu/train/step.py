@@ -59,15 +59,32 @@ def make_optimizer(config: OptimizerConfig) -> optax.GradientTransformation:
 def make_loss_fn(model_config: MultiViewStereoNetConfig,
                  loss_config: LossConfig,
                  multi_view: bool = True,
-                 estimate_right_idepthmap: bool = False) -> Callable:
+                 estimate_right_idepthmap: bool = False,
+                 transfer_u8: str | None = None) -> Callable:
     """Build loss(params, batch) -> (loss, loss_dict).
 
     When ``estimate_right_idepthmap`` (two-view recipe,
     multi_view_stereonet_utils.py:522-537), a second forward runs with the
     roles of left/right swapped and its outputs feed the right-view losses.
+
+    ``transfer_u8`` ("unit" | "full" | None): the batch's images arrive
+    as RAW uint8 (the training u8 transport -- 4x fewer H2D bytes, zero
+    host float work) and the float stage(s) the host pipeline omitted
+    are replicated bit-exactly on-device first: "unit" = bare x/255
+    (the augmented recipe omits Normalize), "full" = x/255*2-1
+    (ops/quantize; mode from data.training_u8_dequantize_mode).
     """
+    if transfer_u8:
+        from ..ops.quantize import (dequantize_images_u8,
+                                    dequantize_images_u8_unit)
+        deq = (dequantize_images_u8_unit if transfer_u8 == "unit"
+               else dequantize_images_u8)
 
     def loss_fn(params, batch):
+        if transfer_u8:
+            batch = dict(batch)
+            batch["left_image"] = deq(batch["left_image"])
+            batch["right_images"] = deq(batch["right_images"])
         if multi_view:
             inputs = multi_view_unpack_batch(batch)
             T = inputs["T_right_in_left"]
@@ -102,10 +119,12 @@ def make_train_step(model_config: MultiViewStereoNetConfig,
                     loss_config: LossConfig,
                     tx: optax.GradientTransformation,
                     multi_view: bool = True,
-                    estimate_right_idepthmap: bool = False) -> Callable:
+                    estimate_right_idepthmap: bool = False,
+                    transfer_u8: str | None = None) -> Callable:
     """Build step(params, opt_state, batch) -> (params, opt_state, loss, dict)."""
     loss_fn = make_loss_fn(model_config, loss_config, multi_view,
-                           estimate_right_idepthmap)
+                           estimate_right_idepthmap,
+                           transfer_u8=transfer_u8)
 
     def train_step(params, opt_state, batch):
         (loss, loss_dict), grads = jax.value_and_grad(

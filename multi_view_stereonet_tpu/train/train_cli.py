@@ -34,6 +34,7 @@ import jax.numpy as jnp
 from ..data import (
     GTASfMMultiViewDataset, DeMoNDataset, BatchLoader,
     get_training_transforms, get_testing_transforms,
+    training_u8_dequantize_mode,
 )
 from ..losses import LossConfig
 from ..models import MultiViewStereoNetConfig, init_mvsnet, mvsnet_forward
@@ -55,7 +56,12 @@ from ..utils.timing import set_seeds, count_parameters
 
 def make_dataset(params, data_dir, split_file, training, num_images=0, rng=None):
     if training:
-        transform = get_training_transforms(params, rng)
+        # transfer_u8: pixels stay raw uint8 through the host pipeline
+        # (4x fewer image bytes host->device, zero host float work); the
+        # omitted float stage(s) are replicated bit-exactly inside the
+        # jitted train step (step.make_loss_fn transfer_u8).
+        transform = get_training_transforms(
+            params, rng, u8_output=params.get("transfer_u8", False))
     else:
         transform = get_testing_transforms(params)
     backend = params.get("decode_backend", "auto")
@@ -105,9 +111,16 @@ def build_train_step(params_cfg, steps_per_epoch):
     # multi_view_stereonet_utils.py:522-537): second forward with roles
     # swapped feeds the right-view supervised/consistency losses.
     two_view = bool(params_cfg.get("estimate_right_idepthmap", False))
+    # Training u8 transport: images arrive as raw uint8 and the omitted
+    # host float stage(s) are replicated bit-exactly on-device ("unit" =
+    # bare x/255 for the augmented recipe, which omits Normalize).
+    u8_mode = None
+    if params_cfg.get("transfer_u8", False):
+        u8_mode = training_u8_dequantize_mode(params_cfg)
     step = make_train_step(model_config, loss_config, tx,
                            multi_view=not two_view,
-                           estimate_right_idepthmap=two_view)
+                           estimate_right_idepthmap=two_view,
+                           transfer_u8=u8_mode)
     return model_config, loss_config, tx, step
 
 
@@ -265,6 +278,14 @@ def train(params_cfg, data_dir, train_split, val_split, output_dir,
         print(f"data loader workers: {params_cfg.get('num_workers', 4)} "
               "(run-to-run bit-reproducibility requires num_workers: 1)")
 
+    # u8 transport mode for the debug-image path (the train step itself
+    # gets it via build_train_step); None = classic f32 feed.
+    u8_mode = (training_u8_dequantize_mode(params_cfg)
+               if params_cfg.get("transfer_u8", False) else None)
+    if u8_mode and is_main:
+        print(f"image transport: uint8 (on-device dequantize mode "
+              f"'{u8_mode}'); numerics bit-identical to the f32 feed")
+
     # mesh_view > 1 (params.yaml) shards the comparison-view axis over a
     # second mesh dimension (docs/SCALING.md "view"); requires the
     # dataset's view count to be divisible by it.
@@ -409,9 +430,22 @@ def train(params_cfg, data_dir, train_split, val_split, output_dir,
                 if (is_main and params_cfg["debug_image_freq"]
                         and step_count % params_cfg["debug_image_freq"] == 0):
                     # Always from the V-axis batch: the two-view recipe
-                    # pops right_images from the adapted copy.
-                    inputs = multi_view_unpack_batch(
-                        {k: jnp.asarray(v) for k, v in mv_batch.items()})
+                    # pops right_images from the adapted copy. Under the
+                    # u8 transport the images arrive quantized -- apply
+                    # the same on-device dequantize the train step uses.
+                    dbg_batch = {k: jnp.asarray(v)
+                                 for k, v in mv_batch.items()}
+                    if u8_mode:
+                        from ..ops.quantize import (
+                            dequantize_images_u8, dequantize_images_u8_unit)
+                        _deq = (dequantize_images_u8_unit
+                                if u8_mode == "unit"
+                                else dequantize_images_u8)
+                        dbg_batch["left_image"] = _deq(
+                            dbg_batch["left_image"])
+                        dbg_batch["right_images"] = _deq(
+                            dbg_batch["right_images"])
+                    inputs = multi_view_unpack_batch(dbg_batch)
                     dparams = jax.device_get(params) if n_proc > 1 else params
                     outputs = debug_forward(dparams, inputs)
                     inputs["left_filenames"] = names
@@ -429,11 +463,15 @@ def train(params_cfg, data_dir, train_split, val_split, output_dir,
                 good_state = pending
 
             stopping = stop_check()
+            t_train_phase = time.time() - t_epoch
+            t_val_phase = 0.0
             if val_loader is not None and is_main and not stopping:
                 # Validation has no collectives: process 0 runs it alone on
                 # a host-local copy of the (replicated) params.
+                t_val0 = time.time()
                 vparams = jax.device_get(params) if n_proc > 1 else params
                 val_loss, metrics = validate(vparams, val_loader, val_step)
+                t_val_phase = time.time() - t_val0
                 log_validation_metrics(epoch, val_loss, metrics, val_file)
                 print(f"epoch {epoch} validation loss {val_loss:.4f} {metrics}")
                 if metrics.get("refined_zero_frac", 0.0) >= 0.999:
@@ -445,10 +483,19 @@ def train(params_cfg, data_dir, train_split, val_split, output_dir,
                           "learning rate.", flush=True)
 
             if is_main:
+                t_ckpt0 = time.time()
                 path = ckpt.save_train_state(ckpt_root, epoch, params,
                                              opt_state, step_count)
+                t_ckpt_phase = time.time() - t_ckpt0
                 tag = "preempted at" if stopping else "done in"
-                print(f"epoch {epoch} {tag} {time.time() - t_epoch:.1f}s; "
+                # Phase breakdown: train = feed+step (overlapped via
+                # BatchLoader prefetch), val = validation fwd+metrics,
+                # ckpt = checkpoint write. Parsed by
+                # scripts/bench_train_e2e.py for the per-epoch fixed-cost
+                # decomposition.
+                print(f"epoch {epoch} {tag} {time.time() - t_epoch:.1f}s "
+                      f"(train {t_train_phase:.1f}s, val {t_val_phase:.1f}s, "
+                      f"ckpt {t_ckpt_phase:.1f}s); "
                       f"checkpoint: {path}")
             if stopping or (max_steps and step_count >= max_steps):
                 break
