@@ -333,7 +333,7 @@ def main():
         proc = subprocess.run(
             [_sys2.executable,
              os.path.join(repo, "scripts", "bench_train_e2e.py"),
-             "--batch", "8", "--epochs", "4"],
+             "--batch", "8", "--epochs", "4", "--transfer_u8"],
             capture_output=True, text=True, timeout=2400)
         lines = [l for l in proc.stdout.splitlines()
                  if l.startswith("TRAIN_E2E ")]

@@ -59,6 +59,10 @@ def main():
     ap.add_argument("--frames", type=int, default=10)
     ap.add_argument("--augment", action="store_true",
                     help="recipe color jitter (native backend when built)")
+    ap.add_argument("--transfer_u8", action="store_true",
+                    help="uint8 image transport for the feed (bit-exact "
+                         "on-device dequantize; numerics identical to the "
+                         "f32 feed -- tests/test_u8_training.py)")
     ap.add_argument("--tag", default=None,
                     help="artifact suffix (default: the scene name); use "
                          "e.g. fullres to keep a second run of the same "
@@ -89,6 +93,7 @@ def main():
         "batch_size": ns.batch,
         "num_epochs": EPOCHS_TOTAL,
         "augment": ns.augment,
+        "transfer_u8": ns.transfer_u8,
         "supervision_factor": 1.0,
         "reconstruction_factor": 0.0,
         "left_right_factor": 0.0,
@@ -141,7 +146,9 @@ def main():
             f"GTA-SfM {scene} scenes ({ns.size[0]}x{ns.size[1]}, "
             f"{ns.sequences} sequences x {ns.frames} frames, {n_train}\n"
             f"train / {n_val} val samples, batch {ns.batch}, "
-            f"augment={ns.augment}), {EPOCHS_TOTAL} epochs with a resume\n"
+            f"augment={ns.augment}, transfer_u8={ns.transfer_u8} -- the\n"
+            f"u8 feed is bit-identical to f32, tests/test_u8_training.py),\n"
+            f"{EPOCHS_TOTAL} epochs with a resume\n"
             f"at epoch {EPOCHS_FIRST} (checkpoint -> fresh process path).\n"
             "The reference's 150-epoch GTA recipe cannot run here (no\n"
             "dataset egress); this demonstrates the training loop\n"
