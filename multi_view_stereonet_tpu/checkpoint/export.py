@@ -41,40 +41,33 @@ def make_serving_fn(params, config, input_u8=False, fetch_dtype=None):
     metric inverse depth (reference: test.py:208-212).
 
     ``input_u8``: accept RAW uint8 images (the decoder's natural output)
-    and bake the bit-exact on-device dequantize
-    (eval/streaming.dequantize_images_u8) into the artifact -- the
-    production serving transport (4x fewer H2D bytes; README "Serving
-    transport flags"). ``fetch_dtype`` (e.g. "float16") casts the output
-    on-device before readback (2x fewer D2H bytes). With both set this
-    is exactly the contract StreamingRunner._forward serves live.
+    -- the production serving transport (4x fewer H2D bytes; README
+    "Serving transport flags"). The dequantize itself is dtype-gated
+    inside the shared ``serving_forward``; this flag only selects the
+    exported input spec (export_inference). ``fetch_dtype`` (e.g.
+    "float16") casts the output on-device before readback (2x fewer D2H
+    bytes). With both set this is exactly the contract
+    StreamingRunner._forward serves live -- the SAME traced function,
+    so the artifact is bit-identical to the live path.
     """
-    from ..models import mvsnet_forward
-    from ..train.pipeline import multi_view_unpack_batch
-    from ..geometry.transforms import baseline_norm
-    from ..eval.streaming import dequantize_images_u8
+    from ..eval.streaming import serving_forward
 
     out_dtype = jnp.dtype(fetch_dtype) if fetch_dtype else None
 
     def serve(left_image, right_images, K, T_right_in_left):
-        if input_u8:
-            left_image = dequantize_images_u8(left_image)
-            right_images = dequantize_images_u8(right_images)
+        # Delegates to THE shared serving computation (the same function
+        # StreamingRunner jits), so the exported graph is the live
+        # graph verbatim -- two merely-equivalent traces can fuse bf16
+        # work differently on TPU and drift; one trace stays
+        # bit-identical (the u8 dequantize is dtype-gated inside).
         batch = {
             "left_image": left_image,
             "right_images": right_images,
             "K": K,
             "T_right_in_left": T_right_in_left,
         }
-        inputs = multi_view_unpack_batch(batch)
-        out = mvsnet_forward(
-            params, inputs["left_image_pyr"], inputs["K_pyr"],
-            inputs["T_right_in_left"], inputs["right_image_pyr"], config)
-        idepth = out["left_idepthmap_pyr"][0]
-        baseline = baseline_norm(T_right_in_left[:, 0])
-        idepth = idepth / baseline[:, None, None]
-        if out_dtype is not None:
-            idepth = idepth.astype(out_dtype)
-        return idepth
+        return serving_forward(params, batch, config,
+                               fetch_dtype=out_dtype)
 
     return serve
 

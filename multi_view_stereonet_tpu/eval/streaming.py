@@ -19,7 +19,6 @@ CLI:
 from __future__ import annotations
 
 import argparse
-import functools
 import os
 import time
 
@@ -40,6 +39,35 @@ from ..train.pipeline import multi_view_unpack_batch
 from ..ops.quantize import (  # noqa: F401
     dequantize_images_u8, quantize_images_u8,
 )
+
+
+def serving_forward(params, batch, config, fetch_dtype=None):
+    """THE serving computation: (metric batch) -> metric inverse depth.
+
+    Shared verbatim by the live StreamingRunner and the jax.export
+    deployment artifact (checkpoint/export.make_serving_fn) so both
+    trace the IDENTICAL graph -- at default TPU matmul precision, two
+    merely-equivalent graphs can fuse bf16 work differently and drift
+    by ~1e-2; one shared trace keeps the artifact bit-identical to the
+    live path (tests/test_export.py, scripts/bench_export.py).
+
+    u8 images (the serving transport) are dequantized on-device
+    bit-exactly; f32 images pass through. ``fetch_dtype`` casts the
+    output before readback (half the D2H bytes at float16).
+    """
+    batch = dict(batch)
+    for key in ("left_image", "right_images"):
+        if batch[key].dtype == jnp.uint8:
+            batch[key] = dequantize_images_u8(batch[key])
+    inputs = multi_view_unpack_batch(batch)
+    out = mvsnet_forward(
+        params, inputs["left_image_pyr"], inputs["K_pyr"],
+        inputs["T_right_in_left"], inputs["right_image_pyr"], config)
+    idepth = out["left_idepthmap_pyr"][0]
+    idepth = idepth / inputs["baseline"][:, None, None]
+    if fetch_dtype is not None:
+        idepth = idepth.astype(fetch_dtype)
+    return idepth
 
 
 class StreamingRunner:
@@ -67,23 +95,16 @@ class StreamingRunner:
         self.fetch_dtype = jnp.dtype(fetch_dtype) if fetch_dtype else None
         self.transfer_u8 = bool(transfer_u8)
 
-        @functools.partial(jax.jit, static_argnames=("config", "fetch_dtype"))
-        def forward(params, batch, config, fetch_dtype=None):
-            batch = dict(batch)
-            for key in ("left_image", "right_images"):
-                if batch[key].dtype == jnp.uint8:
-                    batch[key] = dequantize_images_u8(batch[key])
-            inputs = multi_view_unpack_batch(batch)
-            out = mvsnet_forward(
-                params, inputs["left_image_pyr"], inputs["K_pyr"],
-                inputs["T_right_in_left"], inputs["right_image_pyr"], config)
-            idepth = out["left_idepthmap_pyr"][0]
-            idepth = idepth / inputs["baseline"][:, None, None]
-            if fetch_dtype is not None:
-                idepth = idepth.astype(fetch_dtype)
-            return idepth
-
-        self._forward = forward
+        # Close params/config/fetch into the jit (constants, exactly as
+        # the self-contained jax.export artifact embeds them) so the
+        # live graph and the exported graph are THE SAME trace -- with
+        # params as traced arguments instead, XLA fuses the bf16 work
+        # differently and the artifact drifts ~1e-2 from the live path
+        # at default TPU precision (scripts/bench_export.py history).
+        self.forward = jax.jit(
+            lambda batch: serving_forward(self.params, batch,
+                                          model_config,
+                                          fetch_dtype=self.fetch_dtype))
 
     def run(self, dataset, batch_size=8, prefetch=4, workers=4):
         """Yields (idepthmaps (B, H, W) np.ndarray, left filenames).
@@ -114,8 +135,7 @@ class StreamingRunner:
                     jbatch = shard_batch(self.mesh, batch)
                 else:  # trailing partial batch: replicate instead of shard
                     jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
-                out = self._forward(self.params, jbatch, self.model_config,
-                                    self.fetch_dtype)
+                out = self.forward(jbatch)
                 pending.append((out, names))
                 # Keep a couple of steps in flight so device compute runs
                 # ahead of the (possibly slow) device->host readback.

@@ -160,12 +160,10 @@ def main():
     # ---- production serving contract (VERDICT r4 #4): b24, u8 image
     # transport, f16 fetch -- the configuration README "Serving
     # transport flags" actually recommends. The live oracle is the REAL
-    # StreamingRunner device path (eval/streaming.StreamingRunner
-    # ._forward with transfer_u8 + f16 fetch), not a re-derivation, so
-    # bit-identity here certifies the artifact serves exactly what the
-    # live pipeline serves.
-    import jax.numpy as jnp
-
+    # StreamingRunner device path (StreamingRunner.forward with
+    # transfer_u8 + f16 fetch), not a re-derivation, so bit-identity
+    # here certifies the artifact serves exactly what the live pipeline
+    # serves (they share one trace -- eval/streaming.serving_forward).
     from multi_view_stereonet_tpu.eval.streaming import StreamingRunner
 
     B, V, H, W = 24, 1, 480, 640
@@ -180,11 +178,9 @@ def main():
                              transfer_u8=True)
 
     def live_u8(left, rights, K, T):
-        return runner._forward(
-            runner.params,
+        return runner.forward(
             {"left_image": left, "right_images": rights, "K": K,
-             "T_right_in_left": T},
-            config, jnp.dtype("float16"))
+             "T_right_in_left": T})
 
     live_out_u8 = np.asarray(live_u8(*u8_args))
     live_ms_u8 = _loop_time(live_u8, u8_args, iters=60) / B

@@ -89,11 +89,9 @@ def test_export_u8_serving_contract_matches_streaming_runner(tmp_path):
 
     runner = StreamingRunner(params, config, fetch_dtype="float16",
                              transfer_u8=True)
-    live = np.asarray(runner._forward(
-        runner.params,
+    live = np.asarray(runner.forward(
         {"left_image": jnp.asarray(left), "right_images": jnp.asarray(rights),
-         "K": K, "T_right_in_left": T},
-        config, jnp.dtype("float16")))
+         "K": K, "T_right_in_left": T}))
     assert live.dtype == np.float16
 
     exported = export_inference(params, config, batch_size=B, views=V,
