@@ -63,7 +63,11 @@ def make_dataset(params, data_dir, split_file, training, num_images=0, rng=None)
         transform = get_training_transforms(
             params, rng, u8_output=params.get("transfer_u8", False))
     else:
-        transform = get_testing_transforms(params)
+        # Validation rides the same u8 transport (testing transforms
+        # include Normalize, so the val step applies the FULL bit-exact
+        # dequantize -- metrics identical either way).
+        transform = get_testing_transforms(
+            params, u8_output=params.get("transfer_u8", False))
     backend = params.get("decode_backend", "auto")
     if "gta_sfm" in (params.get("split", "") + split_file):
         return GTASfMMultiViewDataset(
@@ -132,6 +136,15 @@ def make_val_step(model_config, loss_config):
 
     @jax.jit
     def val_step(params, batch):
+        # u8 transport: dtype-gated at trace time, exactly like
+        # eval/streaming.serving_forward (the testing pipeline includes
+        # Normalize, so the full dequantize applies).
+        batch = dict(batch)
+        for key in ("left_image", "right_images"):
+            if batch[key].dtype == jnp.uint8:
+                from ..ops.quantize import dequantize_images_u8
+
+                batch[key] = dequantize_images_u8(batch[key])
         inputs = multi_view_unpack_batch(batch)
         outputs = mvsnet_forward(
             params, inputs["left_image_pyr"], inputs["K_pyr"],

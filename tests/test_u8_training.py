@@ -209,8 +209,12 @@ def test_train_cli_transfer_u8_runs(tmp_path):
                 "debug_image_freq": 0, "supervision_factor": 1.0,
                 "reconstruction_factor": 0.0, "left_right_factor": 0.0})
     out = os.path.join(work, "run")
-    train(cfg, data_dir, split, "", out, max_steps=2)
+    # val_split = train split here: exercises the u8 VALIDATION path too
+    # (testing transforms u8_output + full dequantize in val_step).
+    train(cfg, data_dir, split, split, out, max_steps=2)
     losses = open(os.path.join(out, "losses.txt")).read().splitlines()
     assert len(losses) >= 2  # header + >=1 row
     vals = [float(r.split()[3]) for r in losses[1:]]
     assert all(np.isfinite(v) for v in vals)
+    vrows = open(os.path.join(out, "validation.txt")).read().splitlines()
+    assert len(vrows) >= 2 and np.isfinite(float(vrows[1].split()[1]))
