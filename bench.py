@@ -323,27 +323,33 @@ def main():
     # -> checkpoint -- on a cached synthetic 480x640 tree, reported as
     # sustained img/s with a bound-by decomposition
     # (scripts/bench_train_e2e.py; docs/ROOFLINE.md "Training
-    # end-to-end"). Optional -- never fails the bench.
+    # end-to-end"). Optional -- never fails the bench; costs ~8-20 min
+    # on this host, so `--no-training` skips it for quick sanity runs
+    # (same escape hatch bench_extended gives the export row).
     training = {}
-    try:
-        import subprocess
-        import sys as _sys2
+    import sys as _sys2
 
-        repo = os.path.dirname(os.path.abspath(__file__))
-        proc = subprocess.run(
-            [_sys2.executable,
-             os.path.join(repo, "scripts", "bench_train_e2e.py"),
-             "--batch", "8", "--epochs", "4", "--transfer_u8"],
-            capture_output=True, text=True, timeout=2400)
-        lines = [l for l in proc.stdout.splitlines()
-                 if l.startswith("TRAIN_E2E ")]
-        if proc.returncode == 0 and lines:
-            training = {"training_e2e": json.loads(lines[0][10:])}
-        else:
-            tail = (proc.stderr.strip().splitlines() or ["?"])[-1][:160]
-            training = {"training_error": f"rc={proc.returncode}: {tail}"}
-    except Exception as e:  # pragma: no cover - training row is optional
-        training = {"training_error": str(e)[:200]}
+    if "--no-training" in _sys2.argv:
+        training = {"training_e2e": "skipped (--no-training)"}
+    else:
+        try:
+            import subprocess
+
+            repo = os.path.dirname(os.path.abspath(__file__))
+            proc = subprocess.run(
+                [_sys2.executable,
+                 os.path.join(repo, "scripts", "bench_train_e2e.py"),
+                 "--batch", "8", "--epochs", "4", "--transfer_u8"],
+                capture_output=True, text=True, timeout=2400)
+            lines = [l for l in proc.stdout.splitlines()
+                     if l.startswith("TRAIN_E2E ")]
+            if proc.returncode == 0 and lines:
+                training = {"training_e2e": json.loads(lines[0][10:])}
+            else:
+                tail = (proc.stderr.strip().splitlines() or ["?"])[-1][:160]
+                training = {"training_error": f"rc={proc.returncode}: {tail}"}
+        except Exception as e:  # pragma: no cover - training row is optional
+            training = {"training_error": str(e)[:200]}
 
     result = {
         "metric": "depthmaps/sec single v5e chip (480x640, 12 hyps, batch 1)",

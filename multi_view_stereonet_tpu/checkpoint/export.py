@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 
 
-def make_serving_fn(params, config, input_u8=False, fetch_dtype=None):
+def make_serving_fn(params, config, fetch_dtype=None):
     """Metric-idepth inference: (left, rights, K, T) -> idepth (B, H, W).
 
     Inputs follow the eval batch contract (train/pipeline.py
@@ -40,15 +40,15 @@ def make_serving_fn(params, config, input_u8=False, fetch_dtype=None):
     normalization and its inverse are applied inside, so the output is
     metric inverse depth (reference: test.py:208-212).
 
-    ``input_u8``: accept RAW uint8 images (the decoder's natural output)
-    -- the production serving transport (4x fewer H2D bytes; README
-    "Serving transport flags"). The dequantize itself is dtype-gated
-    inside the shared ``serving_forward``; this flag only selects the
-    exported input spec (export_inference). ``fetch_dtype`` (e.g.
+    uint8 image inputs (the production serving transport -- 4x fewer
+    H2D bytes, README "Serving transport flags") are handled by the
+    dtype gate inside the shared ``serving_forward``: export with u8
+    input specs (``export_inference(input_u8=True)``) and the
+    dequantize is traced in automatically. ``fetch_dtype`` (e.g.
     "float16") casts the output on-device before readback (2x fewer D2H
-    bytes). With both set this is exactly the contract
-    StreamingRunner._forward serves live -- the SAME traced function,
-    so the artifact is bit-identical to the live path.
+    bytes). This is exactly the computation StreamingRunner.forward
+    serves live -- the SAME traced function, so the artifact is
+    bit-identical to the live path.
     """
     from ..eval.streaming import serving_forward
 
@@ -91,7 +91,7 @@ def export_inference(params, config, batch_size=1, views=1,
         jax.ShapeDtypeStruct((batch_size, 4, 4), jnp.float32),
         jax.ShapeDtypeStruct((batch_size, views, 4, 4), jnp.float32),
     )
-    serve = jax.jit(make_serving_fn(params, config, input_u8=input_u8,
+    serve = jax.jit(make_serving_fn(params, config,
                                     fetch_dtype=fetch_dtype))
     return jexport.export(serve)(*specs)
 

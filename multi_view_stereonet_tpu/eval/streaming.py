@@ -90,7 +90,11 @@ class StreamingRunner:
         (tests/test_streaming.py, docs/ROOFLINE.md
         "Serving end-to-end")."""
         self.mesh = mesh if mesh is not None else make_mesh(view=1)
-        self.params = jax.device_put(params, replicated(self.mesh))
+        # Read-only: forward() closes over these at construction (the
+        # same-trace rule below); rebinding runner.params would be
+        # silently ignored, so the property makes that assignment loud.
+        # Build a NEW runner to serve different weights.
+        self._params = jax.device_put(params, replicated(self.mesh))
         self.model_config = model_config
         self.fetch_dtype = jnp.dtype(fetch_dtype) if fetch_dtype else None
         self.transfer_u8 = bool(transfer_u8)
@@ -102,9 +106,15 @@ class StreamingRunner:
         # differently and the artifact drifts ~1e-2 from the live path
         # at default TPU precision (scripts/bench_export.py history).
         self.forward = jax.jit(
-            lambda batch: serving_forward(self.params, batch,
+            lambda batch: serving_forward(self._params, batch,
                                           model_config,
                                           fetch_dtype=self.fetch_dtype))
+
+    @property
+    def params(self):
+        """The weights this runner serves (fixed at construction --
+        forward() closed over them; see __init__)."""
+        return self._params
 
     def run(self, dataset, batch_size=8, prefetch=4, workers=4):
         """Yields (idepthmaps (B, H, W) np.ndarray, left filenames).

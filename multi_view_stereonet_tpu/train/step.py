@@ -82,9 +82,14 @@ def make_loss_fn(model_config: MultiViewStereoNetConfig,
 
     def loss_fn(params, batch):
         if transfer_u8:
+            # Dequantize whichever image keys this recipe's batch carries
+            # ("right_images" V-axis form, or the two-view adapter's
+            # singular "right_image" -- train_cli renames it before the
+            # step when estimate_right_idepthmap is on).
             batch = dict(batch)
-            batch["left_image"] = deq(batch["left_image"])
-            batch["right_images"] = deq(batch["right_images"])
+            for key in ("left_image", "right_images", "right_image"):
+                if key in batch:
+                    batch[key] = deq(batch[key])
         if multi_view:
             inputs = multi_view_unpack_batch(batch)
             T = inputs["T_right_in_left"]

@@ -132,9 +132,14 @@ def main():
                     except subprocess.TimeoutExpired:
                         print(f"{key:28s} HANG (attempt {attempt + 1})",
                               flush=True)
-                        if attempt < 1:  # only sleep if a retry follows
-                            print("waiting for chip recovery", flush=True)
-                            time.sleep(60.0)
+                        # Sleep after EVERY hang, including the final
+                        # attempt: the killed subprocess leaves the chip
+                        # in its post-kill recovery window (CLAUDE.md),
+                        # and the NEXT grid point would otherwise launch
+                        # straight into it and cascade into spurious
+                        # HANG rows.
+                        print("waiting for chip recovery", flush=True)
+                        time.sleep(60.0)
                         continue
                     lines = [l for l in proc.stdout.splitlines()
                              if l.startswith("POINT ")]

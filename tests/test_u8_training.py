@@ -190,6 +190,54 @@ def test_train_step_u8_equals_f32(mode):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_two_view_train_step_u8_equals_f32():
+    """The two-view recipe (estimate_right_idepthmap) carries a SINGULAR
+    "right_image" key after the train CLI's batch adaptation; the u8
+    dequantize must cover it too (regression: it once KeyError'd on the
+    absent plural key at trace time)."""
+    import optax
+
+    from multi_view_stereonet_tpu.losses import LossConfig
+    from multi_view_stereonet_tpu.models import (
+        MultiViewStereoNetConfig, init_mvsnet,
+    )
+    from multi_view_stereonet_tpu.train.step import make_train_step
+
+    B, H, W = 2, 32, 48
+    rng = np.random.default_rng(9)
+    u8_left = rng.integers(0, 256, (B, H, W, 3), dtype=np.uint8)
+    u8_right = rng.integers(0, 256, (B, H, W, 3), dtype=np.uint8)
+    K = np.eye(4, dtype=np.float32)
+    K[0, 0] = K[1, 1] = 0.9 * W
+    K[0, 2], K[1, 2] = (W - 1) / 2.0, (H - 1) / 2.0
+    T = np.tile(np.eye(4, dtype=np.float32), (B, 1, 1))
+    T[:, 0, 3] = 0.5
+    common = {
+        "K": np.tile(K, (B, 1, 1)),
+        "T_right_in_left": T,
+        "left_depthmap_true": rng.uniform(2, 30, (B, H, W)).astype(np.float32),
+        "right_depthmap_true": rng.uniform(2, 30, (B, H, W)).astype(np.float32),
+    }
+    batch_f32 = {"left_image": np.asarray(u8_left, np.float32) / 255.0,
+                 "right_image": np.asarray(u8_right, np.float32) / 255.0,
+                 **common}
+    batch_u8 = {"left_image": u8_left, "right_image": u8_right, **common}
+
+    config = MultiViewStereoNetConfig(num_idepth_samples=4)
+    tx = optax.adam(1e-3)
+    params = init_mvsnet(jax.random.PRNGKey(0))
+    opt_state = tx.init(params)
+    kw = dict(multi_view=False, estimate_right_idepthmap=True)
+    step_f32 = jax.jit(make_train_step(config, LossConfig(), tx, **kw))
+    step_u8 = jax.jit(make_train_step(config, LossConfig(), tx,
+                                      transfer_u8="unit", **kw))
+    p1, _, l1, _ = step_f32(params, opt_state, batch_f32)
+    p2, _, l2, _ = step_u8(params, opt_state, batch_u8)
+    assert float(l1) == float(l2)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 @pytest.mark.slow
 def test_train_cli_transfer_u8_runs(tmp_path):
     """End-to-end: the train CLI with transfer_u8 trains on the
